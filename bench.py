@@ -1,0 +1,66 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Timing = full query execution to a count-style action (materializes every
+row, avoids driver-side collect overhead dominating — the reference's own
+published numbers were 99.6% stdout I/O, a pathology we explicitly do not
+reproduce; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+#: Headline queries benched per round (a stable, scale-sensitive subset).
+HEADLINE = [
+    "wordcount",
+    "wordcount_per_source",
+    "wordcount_totals",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    from wordcount_spark.registry import get_queries
+    from wordcount_spark.session import get_spark
+
+    spark = get_spark("wordcount_spark_bench", cpus=cpus)
+    queries = get_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in queries:
+            continue
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm: JIT/codegen
+        t0 = time.monotonic()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

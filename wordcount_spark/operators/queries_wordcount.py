@@ -1,0 +1,70 @@
+"""Registered word-count queries (the reference's entire query surface,
+SURVEY.md §2.1-2.4, plus per-lang/source analytics variants)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from wordcount_spark.functions.text import normalize_word_sql
+from wordcount_spark.operators.wordcount import (
+    word_count,
+    word_count_totals,
+)
+from wordcount_spark.registry import register
+
+# DuckDB-side tokenize: same whitespace set as C++ operator>> / Java \s.
+_TOKS = r"""
+  SELECT {keys} unnest(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+')) AS tok
+  FROM documents
+"""
+
+
+def _wc_sql(mode: str = "head", extra_keys: tuple[str, ...] = ()) -> str:
+    norm = normalize_word_sql("tok", mode=mode)
+    kprefix = (", ".join(extra_keys) + ",") if extra_keys else ""
+    keys = ", ".join([*extra_keys, "word"])
+    toks = _TOKS.format(keys=kprefix)
+    return f"""
+        WITH toks AS ({toks}),
+        words AS (
+          SELECT {kprefix} {norm} AS word FROM toks WHERE tok <> ''
+        )
+        SELECT {keys}, count(*) AS cnt FROM words
+        WHERE length(word) > 0 GROUP BY {keys} ORDER BY {keys}
+    """
+
+
+@register("wordcount", _wc_sql())
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference query (HEAD-source normalizer semantics)."""
+    return word_count(spark, sf_dir)
+
+
+@register("wordcount_stale", _wc_sql(mode="stale"))
+def q_wordcount_stale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stale-binary normalizer variant (produced the committed goldens)."""
+    return word_count(spark, sf_dir, mode="stale")
+
+
+@register("wordcount_per_source", _wc_sql(extra_keys=("source",)))
+def q_wordcount_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file-analog counts (sequential-binary semantics generalized)."""
+    return word_count(spark, sf_dir, group_cols=["source"])
+
+
+@register("wordcount_per_lang", _wc_sql(extra_keys=("lang",)))
+def q_wordcount_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language counts (extension analytics dimension)."""
+    return word_count(spark, sf_dir, group_cols=["lang"])
+
+
+@register(
+    "wordcount_totals",
+    f"""
+    WITH counts AS ({_wc_sql()})
+    SELECT sum(cnt) AS total_words, count(*) AS unique_words FROM counts
+    """,
+)
+def q_wordcount_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's two scalars: total words + unique words."""
+    return word_count_totals(spark, sf_dir)

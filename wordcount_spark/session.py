@@ -1,0 +1,41 @@
+"""SparkSession factory tuned for the test/bench environment.
+
+Local mode is a single JVM with N executor threads; the configs below are
+chosen so the same logical plans scale to a real cluster:
+
+- AQE on: runtime shuffle-partition coalescing + skew-join splitting means
+  the plan self-tunes when data is 1000x bigger.
+- shuffle.partitions ~= cores locally; on a cluster this would be
+  2-3x total executor cores (AQE coalesces the excess).
+- Arrow enabled: every pandas interchange (Pandas UDFs, toPandas) is
+  columnar-batched instead of row-pickled.
+- session timezone pinned UTC so timestamp semantics match the DuckDB
+  oracle and are cluster-location-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "wordcount_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

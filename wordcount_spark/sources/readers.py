@@ -1,0 +1,54 @@
+"""Sources: parquet star schema + raw-text corpus reader.
+
+The reference's only source is whitespace-delimited text files fed on argv
+(reference ``omp.cpp:52-82``: one reader task per file appending to a shared
+queue; ``hybrid.cpp:321-397``: demand-driven file→rank assignment). In Spark
+both collapse into ``spark.read.text(paths)`` — the driver schedules file
+splits to executors natively, so there is nothing to hand-build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: All driver-generated tables (TESTDATA.md). One parquet file per table.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan — Catalyst pushes filters/projections into it."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_text_corpus(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """Reference-style source: text file(s) → one row per line.
+
+    Multi-file input is an implicit UNION ALL (reference ``omp.cpp:181-188``
+    spawns one reader per argv file into one shared queue). Spark globs and
+    unions natively. Adds ``source`` = input file name so the per-file
+    (sequential-binary) semantics stay expressible.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.text(paths)
+    return df.select(
+        F.col("value").alias("text"),
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("source"),
+    )
