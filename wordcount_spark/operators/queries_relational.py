@@ -1,0 +1,794 @@
+"""Registered relational queries: joins, aggregations, windows, set ops,
+subqueries, scalar functions — the operator classes the reference lacks
+(SURVEY.md §2.7), each with a DuckDB oracle.
+
+Physical expectations (checked in tests/test_plans.py):
+- dim joins are BroadcastHashJoin (no fact shuffle);
+- fact-fact joins are shuffle joins on the key, AQE-managed;
+- aggregates split partial/final around the exchange;
+- parquet scans show pushed filters + pruned columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wordcount_spark.operators.relational import dec
+from wordcount_spark.registry import register
+from wordcount_spark.sources.readers import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- aggregation
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy multi-agg. Filter + 2-col grouping push
+    into the parquet scan; partial aggs run map-side before one exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    price, disc, tax = dec("l_extendedprice"), dec("l_discount"), dec("l_tax")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(price).alias("sum_base_price"),
+            F.sum(price * (1 - disc)).alias("sum_disc_price"),
+            F.sum(price * (1 - disc) * (1 + tax)).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals (flag, flag+status, grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).alias("sum_qty")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API (same Catalyst Expand plan)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "agg_distinct",
+    """
+    SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_segments,
+           count(*) AS n_customers
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate (Expand-based two-phase plan in Spark)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.count("*").alias("n_customers"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           CAST(min(l_quantity) AS DECIMAL(18,2)) AS min_qty,
+           CAST(max(l_quantity) AS DECIMAL(18,2)) AS max_qty,
+           round(avg(CAST(l_quantity AS DECIMAL(18,2))), 6) AS avg_qty,
+           round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 6) AS median_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg + exact interpolated median (Spark ``percentile``)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.min("l_quantity").cast("decimal(18,2)").alias("min_qty"),
+            F.max("l_quantity").cast("decimal(18,2)").alias("max_qty"),
+            F.round(F.avg(dec("l_quantity")), 6).alias("avg_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------- joins
+
+@register(
+    "join_broadcast_dims",
+    """
+    SELECT r_name, count(*) AS n_customers,
+           sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake dim chain: both dims broadcast — zero fact-side shuffle
+    until the final tiny group-by."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(dec("c_acctbal")).alias("total_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1996-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact-fact join → top-k.
+    customer (filtered, small) broadcasts into orders; orders⋈lineitem
+    shuffles on orderkey. LIMIT has a unique tiebreak (l_orderkey)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join. All dims broadcast; the only big shuffle
+    is lineitem⋈orders on orderkey."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "join_semi",
+    """
+    SELECT c_nationkey, count(*) AS n_buyers
+    FROM customer WHERE EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+    )
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with a pending order."""
+    cust = _t(spark, sf_dir, "customer")
+    pend = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        cust.join(pend, cust.c_custkey == pend.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_buyers"))
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "join_anti",
+    """
+    SELECT p_brand, count(*) AS n_unsold
+    FROM part WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+    )
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): parts never ordered."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_unsold"))
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "join_outer",
+    """
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey ORDER BY c_custkey
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join with NULL-aware aggregates (0-order customers kept)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast("decimal(18,2)")).alias(
+                "total_spent"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_full_outer",
+    """
+    WITH cn AS (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1),
+         sn AS (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(cn.k, sn.k) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.k = sn.k
+    ORDER BY nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of two pre-aggregated sides."""
+    cn = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        cn.join(sn, cn.k == sn.k, "full_outer")
+        .select(
+            F.coalesce(cn.k, sn.k).alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ------------------------------------------------------------------- windows
+
+@register(
+    "window_topk_per_group",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
+      FROM part
+    ) WHERE rk <= 3 ORDER BY p_brand, rk
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 priciest parts per brand — the canonical top-k-per-group window.
+    (At scale Spark pushes a per-partition WindowGroupLimit before the
+    shuffle, so only k rows per group per mapper move.)"""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rk")
+        .orderBy("p_brand", "rk")
+    )
+
+
+@register(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spent
+    FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend (frame: unbounded-preceding → current)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.withColumn("running_spent", F.sum(dec("o_totalprice")).over(w))
+        .select("o_custkey", "o_orderkey", "running_spent")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "window_lag_gap",
+    """
+    SELECT o_custkey, o_orderkey,
+           datediff('day',
+                    lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                    o_orderdate) AS days_since_prev
+    FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): days between consecutive orders per customer (NULL for first)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn(
+            "days_since_prev",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ),
+        )
+        .select("o_custkey", "o_orderkey", "days_since_prev")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "window_rank_dense",
+    """
+    SELECT p_type, p_partkey,
+           rank() OVER (PARTITION BY p_type ORDER BY p_size, p_partkey) AS rnk,
+           dense_rank() OVER (PARTITION BY p_type ORDER BY p_size) AS drnk,
+           ntile(4) OVER (PARTITION BY p_type ORDER BY p_size, p_partkey) AS quartile
+    FROM part ORDER BY p_type, p_partkey
+    """,
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile in one window pass."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type").orderBy("p_size", "p_partkey")
+    wd = Window.partitionBy("p_type").orderBy("p_size")
+    return (
+        part.select(
+            "p_type",
+            "p_partkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(wd).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("p_type", "p_partkey")
+    )
+
+
+# ---------------------------------------------------------- set ops / limits
+
+@register(
+    "set_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations having both customers and suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+@register(
+    "set_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): nations with customers but no suppliers.
+    ``subtract`` is EXCEPT DISTINCT; ``exceptAll`` would be multiset minus."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s).orderBy("nationkey")
+
+
+@register(
+    "set_union_distinct",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct().orderBy("nationkey")
+
+
+@register(
+    "order_limit_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def order_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition heaps,
+    no global sort (the scale-correct top-k)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- subqueries
+
+@register(
+    "subquery_scalar",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders
+    WHERE o_totalprice > (SELECT 2 * avg(o_totalprice) FROM orders)
+    ORDER BY o_orderkey
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (broadcast as a literal at runtime)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders
+        WHERE o_totalprice > (SELECT 2 * avg(o_totalprice) FROM orders)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "subquery_correlated",
+    """
+    SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    ORDER BY c_custkey
+    """,
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subquery — Catalyst decorrelates to an aggregate + join."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey
+        """
+    )
+
+
+# ---------------------------------------------------------- scalar functions
+
+@register(
+    "scalar_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS uname,
+           lower(p_brand) AS lbrand,
+           substr(p_type, 1, 5) AS type5,
+           length(p_name) AS name_len,
+           replace(p_name, ' ', '_') AS snake,
+           concat(p_brand, ':', p_type) AS brand_type,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+           reverse(p_brand) AS rbrand,
+           CASE WHEN contains(p_name, 'a') THEN 1 ELSE 0 END AS has_a
+    FROM part ORDER BY p_partkey
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery (all JVM built-ins, codegen'd)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.upper("p_name").alias("uname"),
+            F.lower("p_brand").alias("lbrand"),
+            F.substring("p_type", 1, 5).alias("type5"),
+            F.length("p_name").alias("name_len"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+            F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+            F.reverse("p_brand").alias("rbrand"),
+            F.when(F.contains("p_name", F.lit("a")), 1).otherwise(0).alias("has_a"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           day(o_orderdate) AS dom,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+           datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function battery."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofmonth("o_orderdate").alias("dom"),
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+                "days_since_epoch"
+            ),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS absd,
+           CAST(floor(l_extendedprice / 100) AS BIGINT) AS price_h,
+           CAST(ceil(l_quantity) AS BIGINT) AS qceil,
+           CAST(floor(l_quantity) AS BIGINT) AS qfloor,
+           round(sqrt(l_extendedprice), 4) AS sqrtp,
+           round(ln(l_extendedprice + 1), 6) AS lnp,
+           round(pow(1 + l_tax, 2), 6) AS taxsq,
+           l_orderkey % 7 AS mod7
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function battery (rounded: doubles must stringify identically)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(F.col("l_discount") - 0.05).alias("absd"),
+            # NOT round(x, 2): Spark rounds the shortest decimal repr of a
+            # double (HALF_UP on "x.xx5") while DuckDB rounds the exact
+            # binary value — 2-dp money data ties constantly. floor() has no
+            # tie surface.
+            F.floor(F.col("l_extendedprice") / 100).alias("price_h"),
+            F.ceil("l_quantity").alias("qceil"),
+            F.floor("l_quantity").alias("qfloor"),
+            F.round(F.sqrt("l_extendedprice"), 4).alias("sqrtp"),
+            F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("lnp"),
+            F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("taxsq"),
+            (F.col("l_orderkey") % 7).alias("mod7"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "scalar_conditional",
+    """
+    SELECT o_orderpriority,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (manual pivot — the portable form)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_f"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_o"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS F,
+           coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS O,
+           coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS P
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native .pivot() with explicit value list (no extra distinct pass)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast("decimal(18,2)")))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events ORDER BY event_id
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props string column."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "array_funcs_embeddings",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           embedding[1] AS first_val,
+           embedding[64] AS last_val,
+           round(list_sum(embedding), 4) AS vec_sum
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over the vector column (size/element_at/aggregate)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.element_at("embedding", 1).alias("first_val"),
+            F.element_at("embedding", 64).alias("last_val"),
+            F.round(
+                F.aggregate(
+                    "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+                ),
+                4,
+            ).alias("vec_sum"),
+        )
+        .orderBy("vec_id")
+    )

@@ -1,0 +1,32 @@
+"""Relational operator building blocks shared by the registered queries.
+
+The reference has NO joins/windows/rollups (SURVEY.md §2.7) — this module is
+the extension surface re-expressed Spark-first on the TPC-H-ish star schema.
+
+Oracle-parity conventions (driver hashes stringified values):
+
+- Money arithmetic is done in DECIMAL: each double is cast to
+  ``DECIMAL(18,2)`` *before* multiplying/summing, so results are exact and
+  bit-identical between Spark and DuckDB regardless of partition/sum order.
+  (Summing raw doubles is order-dependent — a different last-ulp per run.)
+- Every computed column is aliased identically on both sides.
+- Any LIMIT/top-k query orders by a UNIQUE key chain so the selected rowset
+  is deterministic.
+
+Scale notes: dimension tables (region/nation/supplier, and part at most
+SFs) are broadcast — no shuffle of the fact table for those joins. Fact-fact
+joins (lineitem⋈orders) shuffle on the join key; AQE coalesces/splits
+post-shuffle partitions at runtime, which is the 100 TB-safe default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+
+
+def dec(col: Column | str) -> Column:
+    """Exact 2-dp decimal view of a money double (see module docstring)."""
+    return F.col(col).cast(DEC) if isinstance(col, str) else col.cast(DEC)

@@ -27,7 +27,20 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar parquet scan — Catalyst pushes filters/projections into it."""
+    """Columnar parquet scan — Catalyst pushes filters/projections into it.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer, which Spark
+    rejects by default (PARQUET_TYPE_ILLEGAL). We read it as a long
+    (legacy nanosAsLong conf) and convert ns → µs with INTEGER division
+    (a double round-trip would lose precision: ns-epoch ≈ 1.7e18 > 2^53),
+    matching DuckDB's own ns→µs truncation.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
