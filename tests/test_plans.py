@@ -72,6 +72,7 @@ def test_whole_stage_codegen_covers_wordcount(spark, sf_dir):
     # normalize+filter+partial-agg must run inside codegen (JVM, no Python).
     # executedPlan's compact form marks codegen stages with a '*(n)' prefix.
     df = word_count(spark, sf_dir)
+    df.collect()  # AQE: codegen markers appear once stages are final
     codegen_plan = df._jdf.queryExecution().executedPlan().toString()
     assert "*(" in codegen_plan
     assert "HashAggregate" in codegen_plan
