@@ -1,0 +1,162 @@
+"""Event-time windows (batch first; the same aggregations re-run as
+Structured Streaming in wordcount_spark.streaming — SURVEY.md §7 M5).
+
+The reference has no streaming surface at all (SURVEY.md §2.7); this is the
+extension surface. Batch ``window()`` / ``session_window`` compute identical
+results to the streaming versions, and ARE oracle-checkable — DuckDB
+``time_bucket`` / lag-based sessionization are the independent spellings.
+
+Alignment notes: Spark's tumbling/sliding windows are epoch-aligned;
+DuckDB ``time_bucket`` uses a 2000-01-03 origin — a whole number of days
+from the epoch, so every divisor-of-24h interval aligns identically.
+Session semantics: an event exactly ``gap`` after the previous one starts a
+NEW session (Spark's window end is exclusive) → oracle uses ``>= gap``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wordcount_spark.operators.relational import dec
+from wordcount_spark.registry import register
+from wordcount_spark.sources.readers import load_table
+
+
+@register(
+    "window_tumbling",
+    """
+    SELECT time_bucket(INTERVAL '1 day', ts) AS ws,
+           time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS we,
+           event_type,
+           count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type
+    """,
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows per event type.
+
+    At scale this is a plain hash aggregation on (bucket, type) — no
+    buffering: the bucket is a scalar function of ts, so partial aggs
+    combine map-side exactly like any groupBy.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(dec("value")).alias("total_value"))
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("ws", "event_type")
+    )
+
+
+@register(
+    "window_sliding",
+    """
+    WITH w AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '12 hours', ts) - k.k * INTERVAL '12 hours' AS ws
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+    )
+    SELECT ws, ws + INTERVAL '24 hours' AS we, event_type, count(*) AS n
+    FROM w GROUP BY ws, we, event_type ORDER BY ws, event_type
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 24h windows every 12h: each event lands in size/slide = 2
+    windows (Spark expands exactly that; the oracle unnests k=0,1)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "12 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "event_type",
+            "n",
+        )
+        .orderBy("ws", "event_type")
+    )
+
+
+@register(
+    "window_session",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap) per user via native ``session_window``.
+
+    Spark merges events whose gap < 30 min; window end = last event + gap
+    (exclusive). The oracle derives the same sessions with lag + running
+    sum — the portable SQL spelling of sessionization.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "window_user_activity",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types,
+           min(ts) AS first_seen,
+           max(ts) AS last_seen,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def window_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity profile (the stateful-aggregation shape that
+    becomes arbitrary-state streaming in the streaming module)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "n_purchases"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -36,6 +36,7 @@ def _load_all() -> None:
     for mod in (
         "queries_relational",
         "queries_windows",
+        "queries_streaming",
         "queries_dedup",
         "queries_similarity",
         "queries_textstats",
