@@ -1,0 +1,236 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, increasing fuzziness (all absent from the reference —
+SURVEY.md §2.7 — and core to the 100 TB extension surface):
+
+1. exact        — hash-groupBy on content (md5), keep min doc_id.
+2. ngram-jaccard— exact set-similarity via an inverted shingle index
+                  (distributed self-join on shingle, NOT an O(n²) cross
+                  join: only docs sharing a shingle ever meet).
+3. MinHash+LSH  — probabilistic: per-doc signature of K minhashes over a
+                  deterministic affine hash family on xxhash64(shingle);
+                  banded into B buckets; candidate pairs = bucket
+                  collisions. O(n·K) work + one groupBy — the scale path
+                  when even the inverted index is too hot.
+4. SimHash      — 64-bit weighted-bit fingerprint; near-dups differ in
+                  few bits; bucket by rotated prefixes for candidate
+                  generation.
+
+Every step is DataFrame ops on JVM built-ins (xxhash64, aggregate,
+transform, explode) — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^61 - 1: modulus for the affine minhash family.
+_P = (1 << 61) - 1
+
+
+def doc_shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingle) pairs: distinct positional n-gram token shingles.
+
+    Tokens are lowercased raw whitespace tokens (dedup wants content
+    equivalence, not the reference's edge-strip normalization).
+    """
+    toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit(""))
+    # guard: sequence(0, -k) would produce a DESCENDING range for docs with
+    # fewer than n tokens — emit no shingles for those instead.
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(sh)).alias("shingle"),
+    )
+
+
+def exact_dedup_keepers(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One representative (min id) per distinct content hash."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
+    """Exact n-gram Jaccard over an inverted index: join docs per shingle,
+    count common shingles per pair, filter by similarity.
+
+    Scale shape: one shuffle on shingle (skew-prone on hot shingles — at
+    real scale drop stop-shingles by document frequency first), one shuffle
+    on (a, b). Never materializes the n² cross product.
+    """
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("ida"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("id").alias("idb"), F.col("sz").alias("szb"))
+    return (
+        common.join(sa, "ida")
+        .join(sb, "idb")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("ida", "idb", "common", "jaccard")
+    )
+
+
+def _affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the minhash family (fixed seed —
+    signatures must be reproducible across runs and engines)."""
+    import random
+
+    rng = random.Random(42)
+    return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
+
+
+def base_hash(col: Column | str, mode: str = "xxhash64") -> Column:
+    """Shingle → int in [0, P). mode='xxhash64' is the fast production path
+    (one JVM hash call); mode='md5' is engine-portable — DuckDB computes the
+    identical value (('0x' || substr(md5(s),1,15))::BIGINT), enabling a full
+    SQL oracle for the LSH pipeline."""
+    if mode == "xxhash64":
+        return (F.xxhash64(col) % _P + _P) % _P  # fold signed 64-bit into [0, P)
+    if mode == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash mode: {mode!r}")
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 64, hash_mode: str = "xxhash64"
+) -> DataFrame:
+    """Per-doc minhash signature: sig[i] = min over shingles of
+    (a_i * x + b_i) mod P, x = base_hash(shingle).
+
+    One aggregation, map-side combinable (min is associative): each doc's
+    signature costs O(#shingles * K) multiplies inside codegen. The affine
+    step runs in DECIMAL(38,0): a*x is ~2^122, and Spark's ANSI mode makes
+    long overflow an ERROR, not a wrap (and wrapping would diverge from the
+    mathematical mod anyway).
+    """
+    params = _affine_params(num_hashes)
+    x = base_hash(F.col("shingle"), hash_mode).cast("decimal(38,0)")
+    mins = [
+        F.min(((x * F.lit(a) + F.lit(b)) % F.lit(_P)).cast("long")).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = shingles.groupBy("id").agg(*mins)
+    return sig.select(
+        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows: int = 4, hash_mode: str = "xxhash64"
+) -> DataFrame:
+    """Band the signature (bands × rows), bucket-join on (band, band-hash).
+
+    Pairs agreeing on ALL rows of ≥1 band collide. For J=jaccard, collision
+    prob = 1-(1-J^rows)^bands — the standard S-curve (16 bands × 4 rows
+    centers ~0.6-0.7). hash_mode='md5' buckets by md5 of the joined slice
+    (portable to the SQL oracle); 'xxhash64' uses the cheap murmur hash.
+    """
+
+    def bucket_of(bnd: int) -> Column:
+        sl = F.slice("signature", bnd * rows + 1, rows)
+        if hash_mode == "md5":
+            return F.md5(F.array_join(F.transform(sl, lambda v: v.cast("string")), ","))
+        return F.hash(sl).cast("string")
+
+    banded = signatures.select(
+        "id",
+        F.posexplode(F.array(*[bucket_of(bnd) for bnd in range(bands)])).alias(
+            "band", "bucket"
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
+        .distinct()
+    )
+
+
+def simhash_bits(hash_col: Column, token_count: Column, nbits: int) -> Column:
+    """±token_count contribution vector (nbits ints) for one token row.
+    (Python-level loop: shiftright requires a literal bit count.)"""
+    return F.array(
+        *[
+            F.when(
+                F.shiftright(hash_col, j).bitwiseAND(F.lit(1)) == 1, token_count
+            ).otherwise(-token_count)
+            for j in range(nbits)
+        ]
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """SimHash per document: sum ±weight per bit over token hashes, take
+    sign bits. 64 bits with xxhash64; 60 bits in md5 (engine-portable) mode.
+
+    Distributed shape: explode tokens → per-(doc,token) weight → per-token
+    ±weight vectors → elementwise array-sum per doc (one groupBy; the
+    collect_list holds #distinct-tokens × nbits longs per doc transiently —
+    bounded by vocabulary, not document length).
+    """
+    nbits = 64 if hash_mode == "xxhash64" else 60
+    toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit(""))
+    h = base_hash(F.col("tok"), hash_mode)
+    tok_weights = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("w"))
+        .select("id", simhash_bits(h, F.col("w"), nbits).alias("bits"))
+    )
+    summed = tok_weights.groupBy("id").agg(
+        F.aggregate(
+            F.collect_list("bits"),
+            F.array_repeat(F.lit(0).cast("long"), nbits),
+            lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y),
+        ).alias("bitsums")
+    )
+    fp = F.aggregate(
+        F.array(
+            *[
+                F.when(
+                    F.element_at("bitsums", j + 1) > 0,
+                    F.shiftleft(F.lit(1).cast("long"), j),
+                ).otherwise(F.lit(0).cast("long"))
+                for j in range(nbits)
+            ]
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+    return summed.select("id", fp.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of XOR — bit distance between two 64-bit fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))

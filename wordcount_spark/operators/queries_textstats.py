@@ -1,0 +1,247 @@
+"""Text analysis for training-data pipelines: token stats, quality scoring,
+language ID, fingerprinting (extension surface, SURVEY.md §2.7 gap list).
+
+All hot-path logic is JVM built-ins (split/filter/size/array ops) — no
+Python in these pipelines. Ratios are emitted as RAW double divisions:
+x/y is a single deterministic IEEE op, so Spark and DuckDB produce the
+identical double (no rounding needed — and round() itself is the thing
+that diverges, see queries_relational notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wordcount_spark.registry import register
+from wordcount_spark.sources.readers import load_table
+
+#: tiny per-language stopword lexicons (language-ID heuristic)
+LANG_LEXICONS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "los", "y", "es", "que", "en", "una"],
+    "fr": ["le", "les", "et", "est", "que", "une", "dans"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+#: English-ish stopwords for the quality score
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+_TOKS_SQL = "regexp_split_to_array(text, '[ \t\n\x0b\f\r]+')"
+
+
+def _toks(col: str = "text") -> F.Column:
+    return F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+
+
+@register(
+    "text_token_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_filter({_TOKS_SQL}, x -> x <> '') AS toks, n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           n_chars,
+           CAST(n_chars AS DOUBLE) / len(toks) AS chars_per_token,
+           len(list_distinct(toks)) AS n_unique_tokens,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+    FROM t ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts + type-token ratio (lexical diversity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            "n_chars",
+            (F.col("n_chars").cast("double") / F.size(toks)).alias("chars_per_token"),
+            F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+            (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ttr"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter({_TOKS_SQL}, x -> x <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+             len(list_filter(toks, x -> list_contains({STOPWORDS!r}, x))) AS n_stop,
+             len(list_filter(toks, x -> length(x) > 3)) AS n_long
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_long AS DOUBLE) / n_tokens AS long_token_ratio,
+           CASE WHEN n_tokens >= 20
+                 AND CAST(n_punct AS DOUBLE) / n_chars < 0.1
+                 AND CAST(n_stop AS DOUBLE) / n_tokens > 0.05
+                THEN 1 ELSE 0 END AS keep
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality gate (C4/Gopher-style rules): punctuation density,
+    stopword presence, token-length profile → keep/drop flag."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    m = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"\p{Punct}", ""))
+        ).alias("n_punct"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).alias("n_stop"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 3)).alias("n_long"),
+    )
+    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    long_ratio = F.col("n_long").cast("double") / F.col("n_tokens")
+    return (
+        m.select(
+            "doc_id",
+            "n_tokens",
+            punct_ratio.alias("punct_ratio"),
+            stop_ratio.alias("stopword_ratio"),
+            long_ratio.alias("long_token_ratio"),
+            F.when(
+                (F.col("n_tokens") >= 20) & (punct_ratio < 0.1) & (stop_ratio > 0.05), 1
+            )
+            .otherwise(0)
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    lex = LANG_LEXICONS[lang]
+    return f"len(list_filter(toks, x -> list_contains({lex!r}, x)))"
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang AS true_lang,
+             list_filter({_TOKS_SQL}, x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, true_lang,
+             {_lang_score_sql("de")} AS s_de,
+             {_lang_score_sql("en")} AS s_en,
+             {_lang_score_sql("es")} AS s_es,
+             {_lang_score_sql("fr")} AS s_fr,
+             {_lang_score_sql("zh")} AS s_zh
+      FROM t
+    )
+    SELECT doc_id, true_lang,
+           CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM s ORDER BY doc_id
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language ID: count lexicon hits per language, argmax
+    with a fixed alphabetical tiebreak (the CASE chain — deterministic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    t = docs.select("doc_id", F.col("lang").alias("true_lang"), toks.alias("toks"))
+    def lex_hits(lex: list[str]) -> F.Column:
+        arr = F.array(*[F.lit(w) for w in lex])
+        return F.size(F.filter(F.col("toks"), lambda x: F.array_contains(arr, x)))
+
+    scores = {lang: lex_hits(lex) for lang, lex in LANG_LEXICONS.items()}
+    s = t.select("doc_id", "true_lang", *[scores[k].alias(f"s_{k}") for k in scores])
+    c = F
+    pred = (
+        c.when(
+            (c.col("s_de") >= c.col("s_en"))
+            & (c.col("s_de") >= c.col("s_es"))
+            & (c.col("s_de") >= c.col("s_fr"))
+            & (c.col("s_de") >= c.col("s_zh")),
+            "de",
+        )
+        .when(
+            (c.col("s_en") >= c.col("s_es"))
+            & (c.col("s_en") >= c.col("s_fr"))
+            & (c.col("s_en") >= c.col("s_zh")),
+            "en",
+        )
+        .when((c.col("s_es") >= c.col("s_fr")) & (c.col("s_es") >= c.col("s_zh")), "es")
+        .when(c.col("s_fr") >= c.col("s_zh"), "fr")
+        .otherwise("zh")
+    )
+    return s.select("doc_id", "true_lang", pred.alias("pred_lang")).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(text) AS content_hash,
+           md5(lower(text)) AS normalized_hash,
+           substr(md5(text), 1, 8) AS shard_key
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed document fingerprints (md5 — same digest in any
+    engine; the basis for exact dedup and shard routing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.md5("text").alias("content_hash"),
+            F.md5(F.lower("text")).alias("normalized_hash"),
+            F.substring(F.md5("text"), 1, 8).alias("shard_key"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_token_freq_by_lang",
+    f"""
+    WITH t AS (
+      SELECT lang, unnest(list_filter({_TOKS_SQL}, x -> x <> '')) AS tok
+      FROM documents
+    )
+    SELECT lang, tok, count(*) AS cnt
+    FROM t GROUP BY lang, tok
+    ORDER BY lang, cnt DESC, tok
+    """,
+)
+def text_token_freq_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency table per language (raw tokens, no
+    normalization — the vocabulary-building precursor)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(_toks()).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("lang", F.desc("cnt"), "tok")
+    )
