@@ -1,0 +1,87 @@
+"""Registered multimodal queries. The Pandas-UDF plumbing is real (bytes
+in, Arrow batches, fan-out in the iterator); the decode step is a
+deterministic stub whose outputs DuckDB can predict arithmetically — so
+even the UDF pipeline is oracle-checked end-to-end."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from wordcount_spark.operators.multimodal import (
+    extract_features,
+    sample_frames,
+    with_binary_payload,
+)
+from wordcount_spark.registry import register
+from wordcount_spark.sources.readers import load_table
+
+_PAYLOAD_SQL = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS mime,
+         octet_length(CAST(text AS BLOB)) AS n_bytes,
+         text
+  FROM documents
+"""
+
+
+@register(
+    "multimodal_meta",
+    f"""
+    WITH p AS ({_PAYLOAD_SQL})
+    SELECT doc_id, mime, n_bytes, md5(text) AS checksum
+    FROM p ORDER BY doc_id
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload metadata (mime, size, content hash) — pure JVM path."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = with_binary_payload(docs)
+    return b.select(
+        "doc_id", "mime", "n_bytes", F.md5("payload").alias("checksum")
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_image_features",
+    f"""
+    WITH p AS ({_PAYLOAD_SQL})
+    SELECT doc_id, mime, n_bytes,
+           md5(text) AS checksum,
+           64 + (n_bytes % 960) AS width,
+           64 + ((n_bytes * 7) % 704) AS height
+    FROM p ORDER BY doc_id
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction through the Arrow-batched mapInPandas operator
+    (stub decode; checksum computed from the actual bytes in Python)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(with_binary_payload(docs)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    f"""
+    WITH p AS ({_PAYLOAD_SQL}),
+    v AS (SELECT doc_id, n_bytes FROM p WHERE mime = 'video/mp4'),
+    f AS (
+      SELECT doc_id, n_bytes,
+             unnest(range(least(n_bytes // 4096 + 1, 5))) AS frame_idx
+      FROM v
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           frame_idx * 4096 AS byte_offset,
+           least(4096, n_bytes - frame_idx * 4096) AS frame_bytes
+    FROM f ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling fan-out inside the Pandas iterator (one row per
+    sampled frame of each 'video' payload)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(with_binary_payload(docs)).orderBy("doc_id", "frame_idx")

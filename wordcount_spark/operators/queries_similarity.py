@@ -1,0 +1,154 @@
+"""Similarity search over the embeddings table (extension surface).
+
+Brute-force cosine top-k is the correctness baseline; blocked (IVF-like)
+and sign-LSH variants are the sub-quadratic scale paths. Dot products are
+computed as sequential double-precision folds (zip_with + aggregate in
+Spark, list_transform + list_sum in DuckDB): float→double conversion is
+exact and both engines fold left-to-right, so the doubles are identical
+and results hash-match without tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wordcount_spark.registry import register
+from wordcount_spark.sources.readers import load_table
+
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
+_NORM_SQL = (
+    "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+@register(
+    "similarity_topk_bruteforce",
+    f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT b.vec_id, b.label,
+             {_DOT_SQL} / ({_NORM_SQL.format(v="a.embedding")} * {_NORM_SQL.format(v="b.embedding")}) AS cos_sim
+      FROM q a CROSS JOIN embeddings b
+      WHERE b.vec_id <> 0
+    )
+    SELECT vec_id, label, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine neighbors of vec_id 0, brute force.
+
+    The query vector joins via broadcast (1 row) — the scan side streams;
+    Spark plans TakeOrderedAndProject, so top-k never globally sorts.
+    At 100 TB this is the exact-scoring baseline you run on a candidate
+    subset, not the full corpus — the LSH/blocked variants produce the
+    candidates.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "similarity_pairs_blocked",
+    f"""
+    SELECT a.vec_id AS ida, b.vec_id AS idb, a.label,
+           {_DOT_SQL} / ({_NORM_SQL.format(v="a.embedding")} * {_NORM_SQL.format(v="b.embedding")}) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DOT_SQL} / ({_NORM_SQL.format(v="a.embedding")} * {_NORM_SQL.format(v="b.embedding")}) > 0.8
+    ORDER BY ida, idb
+    """,
+)
+def similarity_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup embedding pairs with IVF-style blocking: only pairs in the
+    same coarse cell (label = the given quantizer) are scored — the n² cross
+    product never materializes; the join shuffles on the block key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("ida"),
+            F.col("b.vec_id").alias("idb"),
+            F.col("a.label").alias("label"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") > 0.8)
+        .orderBy("ida", "idb")
+    )
+
+
+@register(
+    "similarity_centroid_per_label",
+    """
+    WITH e AS (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    )
+    SELECT label, i AS dim, CAST(avg(CAST(v AS DOUBLE)) AS FLOAT) AS centroid_v
+    FROM e GROUP BY label, i
+    HAVING i <= 4
+    ORDER BY label, dim
+    """,
+)
+def similarity_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (first 4 dims shown): the building
+    block of IVF training / cluster assignment, as a posexplode + groupBy.
+    Float cast at the end avoids double-mean last-ulp drift across engines
+    being visible in the hash (mean of ≤ hundreds of values: the float
+    rounding absorbs it)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode("embedding").alias("i0", "v")
+    ).select("label", (F.col("i0") + 1).alias("dim"), F.col("v").cast("double").alias("v"))
+    return (
+        e.filter(F.col("dim") <= 4)
+        .groupBy("label", "dim")
+        .agg(F.avg("v").cast("float").alias("centroid_v"))
+        .orderBy("label", "dim")
+    )
