@@ -1,0 +1,70 @@
+"""Streaming semantics tests: each streaming pipeline must reproduce its
+batch twin's result on a finite replay (the deterministic-replay strategy —
+SURVEY.md §7 risk 4: watermarks aren't DuckDB-checkable, equivalence to the
+oracle-checked batch query is the next-strongest evidence)."""
+
+from __future__ import annotations
+
+import pytest
+
+from wordcount_spark.operators.queries_windows import window_tumbling, window_session
+from wordcount_spark.operators.wordcount import word_count
+from wordcount_spark.streaming.streams import (
+    run_to_completion,
+    streaming_session_windows,
+    streaming_user_state,
+    streaming_windowed_counts,
+    streaming_wordcount,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_streaming_wordcount_equals_batch(spark, sf_dir):
+    stream = streaming_wordcount(spark, sf_dir)
+    got = run_to_completion(stream, "t_wc", "complete")
+    want = word_count(spark, sf_dir)
+    assert _rows(got, ["word", "count"]) == _rows(
+        want.withColumnRenamed("cnt", "count"), ["word", "count"]
+    )
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    stream = streaming_windowed_counts(spark, sf_dir)
+    got = run_to_completion(stream, "t_win", "complete")
+    want = window_tumbling(spark, sf_dir).select("ws", "we", "event_type", "n")
+    assert _rows(got, ["ws", "we", "event_type", "n"]) == _rows(
+        want, ["ws", "we", "event_type", "n"]
+    )
+
+
+def test_streaming_session_equals_batch(spark, sf_dir):
+    stream = streaming_session_windows(spark, sf_dir)
+    got = run_to_completion(stream, "t_sess", "complete")
+    want = window_session(spark, sf_dir)
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_streaming_user_state(spark, sf_dir):
+    stream = streaming_user_state(spark, sf_dir)
+    got = run_to_completion(stream, "t_state", "update")
+    # update-mode memory sink keeps every emitted row; the LAST row per user
+    # is the final state
+    import collections
+
+    final = {}
+    for r in got.collect():
+        final[r["user_id"]] = (r["n_events"], r["last_seen_us"])
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")  # nanosAsLong already set
+    from pyspark.sql import functions as F
+
+    want = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.expr("max(ts) div 1000").alias("last_us"))
+        .collect()
+    )
+    for r in want:
+        assert final[r["user_id"]] == (r["n"], r["last_us"]), r["user_id"]

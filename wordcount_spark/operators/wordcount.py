@@ -44,6 +44,8 @@ def _fan_out_if_narrow(df: DataFrame) -> DataFrame:
     the raw text — strictly smaller than the exploded token stream it
     enables to run in parallel.
     """
+    if df.isStreaming:  # micro-batches parallelize per-trigger; .rdd illegal
+        return df
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() * 2 < target:

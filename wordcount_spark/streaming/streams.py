@@ -1,0 +1,133 @@
+"""Structured Streaming surface: the batch pipelines re-run as streams.
+
+The reference has no streaming (SURVEY.md §2.7); this is the extension
+surface. Design rule: every streaming query shares its TRANSFORMATION code
+with the batch version (same functions over an unbounded DataFrame), so
+batch oracles vouch for streaming logic; streaming tests then only need to
+cover streaming-specific semantics (watermarks, incremental state, late
+data).
+
+Local testing uses the file source over the same parquet + a memory sink,
+driven to completion with processAllAvailable() — deterministic replay, no
+timers. On a cluster the sources become Kafka/files-on-arrival; nothing in
+the transformation changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wordcount_spark.operators.wordcount import words_from_text
+
+
+def _stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """readStream over the driver-generated parquet (schema from a batch
+    peek — streaming sources need an explicit schema)."""
+    batch = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # the file source requires a DIRECTORY; select the one table's file
+    # out of the shared testdata dir with a glob filter
+    return (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", f"{name}.parquet")
+        .load(sf_dir)
+    )
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events stream with the ns→µs ts conversion (same as the batch loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = _stream_table(spark, sf_dir, "events")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship word count as an incremental stream (complete mode
+    hash-agg state: word → count, updated per micro-batch)."""
+    docs = _stream_table(spark, sf_dir, "documents")
+    return words_from_text(docs.select("text")).groupBy("word").count()
+
+
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event counts with a 1-hour watermark: state for a
+    window is dropped once the watermark passes its end — bounded memory
+    on an unbounded stream."""
+    ev = _events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("ws"),
+            F.col("window.end").alias("we"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap) per user on the stream — Spark merges
+    sessions incrementally as events arrive."""
+    ev = _events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event count + last-seen timestamp (the arbitrary-state API —
+    what you reach for when windows/aggs can't express the semantics)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "ts", "event_type")
+
+    def update(key, batches, state: GroupState):
+        (user_id,) = key
+        n, last_us = state.get if state.exists else (0, 0)
+        for pdf in batches:
+            n += len(pdf)
+            batch_max = pdf["ts"].max()
+            batch_us = int(batch_max.value // 1000)  # pandas ns → µs
+            last_us = max(last_us, batch_us)
+        state.update((n, last_us))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "last_seen_us": [last_us]}
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, last_seen_us long",
+        stateStructType="n long, last_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str, output_mode: str) -> DataFrame:
+    """Drive a streaming DataFrame over the finite test input to completion
+    via a memory sink; return the materialized result table."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
