@@ -50,16 +50,32 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def load_text_corpus(spark: SparkSession, paths: list[str] | str) -> DataFrame:
-    """Reference-style source: text file(s) → one row per line.
+def load_text_corpus(
+    spark: SparkSession, paths: list[str] | str, preserve_bom: bool = False
+) -> DataFrame:
+    """Reference-style source: text file(s) → rows of text + source file.
 
     Multi-file input is an implicit UNION ALL (reference ``omp.cpp:181-188``
     spawns one reader per argv file into one shared queue). Spark globs and
     unions natively. Adds ``source`` = input file name so the per-file
     (sequential-binary) semantics stay expressible.
+
+    ``preserve_bom=True`` reads whole files through the binaryFile source:
+    Hadoop's line reader silently strips a UTF-8 BOM at split start, but the
+    reference treats those 3 bytes as word bytes (the committed golden
+    counts ``\\ufeffthe`` separately from ``the`` — ``omp_out.txt`` last
+    line). Whole-file rows lose intra-file split parallelism, so this is
+    the fidelity path, not the scale path — file-level parallelism remains
+    (one task per file, exactly the reference's reader model).
     """
     from pyspark.sql import functions as F
 
+    if preserve_bom:
+        df = spark.read.format("binaryFile").load(paths)
+        return df.select(
+            F.decode("content", "UTF-8").alias("text"),
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("source"),
+        )
     df = spark.read.text(paths)
     return df.select(
         F.col("value").alias("text"),
