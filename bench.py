@@ -18,11 +18,18 @@ _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
-#: Headline queries benched per round (a stable, scale-sensitive subset).
+#: Headline queries benched per round (a stable, scale-sensitive subset:
+#: flagship text pipeline, scan-heavy agg, multi-join, window, sub-quadratic
+#: near-dup, vector top-k, quality gate).
 HEADLINE = [
     "wordcount",
     "wordcount_per_source",
-    "wordcount_totals",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "window_session",
+    "dedup_minhash_lsh_fast",
+    "similarity_topk_bruteforce",
+    "text_quality_score",
 ]
 
 

@@ -46,5 +46,9 @@ def test_every_query_has_oracle_or_is_flagged():
     queries, oracles = _registry()
     missing = sorted(set(queries) - set(oracles))
     # Non-SQL-expressible ops may be listed here, consciously:
-    allowed_rows_only = set()
+    allowed_rows_only = {
+        "streaming_wordcount",
+        "streaming_windowed_counts",
+        "dedup_minhash_lsh_fast",
+    }
     assert set(missing) <= allowed_rows_only, f"queries without oracle: {missing}"

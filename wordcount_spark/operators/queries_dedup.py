@@ -109,11 +109,10 @@ def _minhash_sql(num_hashes: int, bands: int, rows: int, threshold_bands: bool =
     values = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(params))
     return f"""
     WITH sh AS ({_SHINGLES_SQL}),
-    x AS (SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS x FROM sh),
+    x AS (SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_P} AS x FROM sh),
     params(i, a, b) AS (SELECT * FROM (VALUES {values})),
     m AS (
-      SELECT id, i,
-             CAST(min((CAST(a AS HUGEINT) * x + b) % {_P}) AS BIGINT) AS h
+      SELECT id, i, min((a * x + b) % {_P}) AS h
       FROM x CROSS JOIN params GROUP BY id, i
     ),
     sig AS (
@@ -144,6 +143,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = doc_shingles(docs)
     sigs = minhash_signatures(sh, num_hashes=32, hash_mode="md5")
     return lsh_candidate_pairs(sigs, bands=8, rows=4, hash_mode="md5").orderBy(
+        "ida", "idb"
+    )
+
+
+@register("dedup_minhash_lsh_fast")  # rows-only: xxhash64 has no SQL twin
+def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-path MinHash+LSH (xxhash64 base hash — one JVM hash call
+    per shingle instead of an md5 + hex decode). Same pipeline as the
+    oracle-backed md5 variant; benched as the scale path."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    sigs = minhash_signatures(sh, num_hashes=32, hash_mode="xxhash64")
+    return lsh_candidate_pairs(sigs, bands=8, rows=4, hash_mode="xxhash64").orderBy(
         "ida", "idb"
     )
 
