@@ -50,5 +50,7 @@ def test_every_query_has_oracle_or_is_flagged():
         "streaming_wordcount",
         "streaming_windowed_counts",
         "dedup_minhash_lsh_fast",
+        "agg_approx_sketches",
+        "sample_fraction",
     }
     assert set(missing) <= allowed_rows_only, f"queries without oracle: {missing}"

@@ -1,0 +1,149 @@
+"""As-of and range joins — operators Spark lacks natively (the reference
+lacks ALL joins, SURVEY.md §2.7; these are the time-series extension ops).
+
+As-of join, Spark-first: the union + keyed-window formulation —
+  1. tag right rows (orders) and left rows (events), union on (key, time);
+  2. one window per key ordered by (time, right-first): ``last(payload,
+     ignorenulls)`` carries the latest right row forward;
+  3. keep left rows.
+One shuffle on the key + one sort — the same cost profile as a sort-merge
+join, scales to any key cardinality, no per-group pandas (merge_asof would
+ship every group through Python). DuckDB's native ASOF JOIN is the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wordcount_spark.registry import register
+from wordcount_spark.sources.readers import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """For each left row: columns of the latest right row with
+    right_time <= left_time on the same key (inclusive)."""
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(1).alias("__is_right"),
+        *[F.col(c) for c in payload_cols],
+    )
+    l = left.select(
+        "*",
+        F.col(key).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(0).alias("__is_right"),
+    )
+    # align schemas: left rows carry NULL payloads, right rows NULL left-cols
+    r_types = dict(r.dtypes)
+    l_types = dict(l.dtypes)
+    for c in payload_cols:
+        l = l.withColumn(c, F.lit(None).cast(r_types[c]))
+    left_only = [c for c in l.columns if c not in r.columns]
+    r_full = r.select(
+        "*", *[F.lit(None).cast(l_types[c]).alias(c) for c in left_only]
+    )
+    unioned = r_full.select(l.columns).unionByName(l)
+    # right rows sort BEFORE left rows at equal time (inclusive <=)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t"), F.desc("__is_right"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *[c for c in l.columns if c not in ("__k", "__t", "__is_right", *payload_cols)],
+        "__is_right",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
+    )
+    return carried.filter(F.col("__is_right") == 0).drop("__is_right")
+
+
+@register(
+    "asof_join_last_order",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, r.o_orderkey AS last_orderkey,
+           r.o_orderdate AS last_orderdate
+    FROM events e ASOF JOIN r
+      ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts
+    ORDER BY e.event_id
+    """,
+)
+def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each event: the user's most recent order as of the event time.
+    Right side pre-deduped to one row per (key, time) — max orderkey — so
+    the as-of match is deterministic in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        orders.withColumnRenamed("o_custkey", "user_id"),
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"],
+    )
+    return (
+        joined.filter(F.col("o_orderkey").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").alias("last_orderdate"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "range_join_value_bands",
+    """
+    WITH bands(band_id, lo, hi) AS (
+      SELECT * FROM (VALUES (0, 0.0, 25.0), (1, 25.0, 50.0),
+                            (2, 50.0, 75.0), (3, 75.0, 1e18))
+    )
+    SELECT b.band_id, b.lo, count(*) AS n,
+           sum(CAST(e.value AS DECIMAL(18,2))) AS total_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band_id, b.lo ORDER BY b.band_id
+    """,
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join, bucketized: the inequality join is rewritten as an
+    equi-join on a computed band index. A naive theta-join plans as a
+    nested-loop (O(n·bands) comparisons broadcast-side); the bucketized form
+    is a plain hash join/aggregation that scales linearly — for non-aligned
+    band edges, bucketize to the gcd of the edges then filter."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = [(0, 0.0, 25.0), (1, 25.0, 50.0), (2, 50.0, 75.0), (3, 75.0, 1e18)]
+    band_df = F.broadcast(
+        ev.sparkSession.createDataFrame(bands, ["band_id", "lo", "hi"])
+    )
+    banded = ev.withColumn(
+        "band_id", F.least(F.floor(F.col("value") / 25).cast("int"), F.lit(3))
+    )
+    return (
+        banded.join(band_df, "band_id")
+        .groupBy("band_id", "lo")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        .orderBy("band_id")
+    )

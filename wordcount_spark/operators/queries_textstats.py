@@ -224,6 +224,102 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter({_TOKS_SQL}, x -> x <> '')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok, tf, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok) AS rk
+      FROM scored
+    ) WHERE rk <= 3 ORDER BY doc_id, tfidf DESC, tok
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Three shuffles total: (doc,term)
+    agg, term doc-frequency agg (broadcast back — term vocab is small
+    relative to the corpus), and the per-doc top-k window."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_toks()).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar: fixed at plan time, like a broadcast var
+    scored = tf.join(F.broadcast(df_), "tok").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tf", "tfidf")
+        .orderBy("doc_id", F.desc("tfidf"), "tok")
+    )
+
+
+@register("agg_approx_sketches")  # rows-only: sketch internals are engine-specific
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches (HLL++ distinct, quantile sketch): the cheap
+    100 TB path where exactness isn't required. No SQL oracle — sketch
+    estimates are engine-specific; tests/test_textstats.py bounds the
+    error against exact values instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("sample_fraction")  # rows-only: RNG streams are engine-specific
+def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (deterministic per seed+partitioning in
+    Spark, but no cross-engine oracle exists for RNG streams — bounds
+    checked in tests/test_textstats.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.sample(fraction=0.1, seed=42).select("doc_id", "lang")
+
+
+@register(
+    "json_map_props",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           json_array_length(json_keys(props)) AS n_keys
+    FROM events ORDER BY event_id
+    """,
+)
+def json_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """props JSON → typed MapType (from_json), element access + key count —
+    the semi-structured column pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        ev.select(
+            "event_id",
+            m.getItem("k").alias("k_val"),
+            F.size(F.map_keys(m)).alias("n_keys"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
     "text_token_freq_by_lang",
     f"""
     WITH t AS (

@@ -37,6 +37,7 @@ def _load_all() -> None:
         "queries_relational",
         "queries_windows",
         "queries_streaming",
+        "queries_asof",
         "queries_dedup",
         "queries_similarity",
         "queries_textstats",
