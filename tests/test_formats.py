@@ -1,0 +1,57 @@
+"""Storage format round-trips + partitioned-layout pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wordcount_spark.plans.explain import formatted_plan
+from wordcount_spark.sources.formats import (
+    delta_available,
+    read_jdbc,
+    read_table,
+    write_table,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.mark.parametrize("fmt,opts", [
+    ("parquet", {}),
+    ("orc", {}),
+    ("json", {}),
+    ("csv", {"header": "true"}),
+])
+def test_roundtrip(spark, docs, tmp_path, fmt, opts):
+    path = str(tmp_path / fmt)
+    write_table(docs, path, fmt, **opts)
+    back = read_table(spark, path, fmt, schema=docs.schema, **opts)
+    a = sorted(tuple(r) for r in docs.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
+
+
+def test_partitioned_layout_prunes(spark, docs, tmp_path):
+    path = str(tmp_path / "by_lang")
+    write_table(docs, path, "parquet", partition_by=["lang"])
+    back = read_table(spark, path, "parquet").filter(F.col("lang") == "en")
+    plan = formatted_plan(back)
+    # partition filter on the directory column — whole non-en dirs skipped
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    assert back.count() == docs.filter("lang = 'en'").count()
+
+
+def test_text_sink_roundtrip(spark, docs, tmp_path):
+    path = str(tmp_path / "txt")
+    docs.select("text").write.mode("overwrite").text(path)
+    n = spark.read.text(path).count()
+    assert n == docs.count()
+
+
+def test_connector_stubs_fail_clearly(spark):
+    with pytest.raises(NotImplementedError, match="JDBC-reachable"):
+        read_jdbc(spark, "jdbc:postgresql://x/y", "t")
+    assert delta_available(spark) is False  # no jars in this container

