@@ -52,5 +52,6 @@ def test_every_query_has_oracle_or_is_flagged():
         "dedup_minhash_lsh_fast",
         "agg_approx_sketches",
         "sample_fraction",
+        "similarity_ivf_topk",
     }
     assert set(missing) <= allowed_rows_only, f"queries without oracle: {missing}"

@@ -122,6 +122,43 @@ def similarity_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("similarity_ivf_topk")  # rows-only: iterative k-means training
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN search: k-means coarse quantizer (k=8,
+    3 Lloyd iterations), then exact cosine scoring restricted to the
+    nProbe=2 cells nearest the query vector.
+
+    Scale shape: training scans the data max_iter times; each SEARCH scans
+    only ~nProbe/k of the corpus (here ~1/4), which is the point — recall
+    vs brute force is bounded in tests/test_similarity_recall.py."""
+    from wordcount_spark.operators.kmeans import assign_clusters, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, assigned = kmeans_fit(emb, k=8, max_iter=3)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qv = [float(v) for v in q.first()["qv"]]
+
+    import math
+
+    def sqd(c: list[float]) -> float:
+        return sum((a - b) * (a - b) for a, b in zip(qv, c))
+
+    probe = sorted(range(len(cents)), key=lambda i: sqd(cents[i]))[:2]
+    cand = assigned.filter(F.col("cluster").isin(probe) & (F.col("vec_id") != 0))
+    qdf = F.broadcast(q)
+    return (
+        cand.join(qdf)
+        .select(
+            "vec_id",
+            "label",
+            "cluster",
+            cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
 @register(
     "similarity_centroid_per_label",
     """
