@@ -73,6 +73,35 @@ def words_from_text(df: DataFrame, text_col: str = "text", mode: str = "head") -
     )
 
 
+def count_words(df: DataFrame, text_col: str = "text", mode: str = "head",
+                group_cols: list[str] | None = None) -> DataFrame:
+    """Grouped word counts via VOCABULARY PRE-AGGREGATION.
+
+    Natural-language token streams are massively duplicated (the reference
+    corpus: 2.66M tokens, ~100k distinct raws). Counting RAW tokens first
+    and normalizing only the distinct vocabulary runs the regex O(vocab)
+    times instead of O(tokens) — a ~25x cut in scalar work at any scale.
+    The second aggregation (normalized word) is vocabulary-sized, so its
+    exchange is negligible next to the first; both are map-side combinable.
+    Result is identical to normalize-then-count (sum is associative over
+    the raw→normalized merge).
+    """
+    keys = list(group_cols or [])
+    toks = tokenize(text_col)
+    raw = (
+        _fan_out_if_narrow(df.select(text_col, *keys))
+        .withColumn("__tok", F.explode(toks))
+        .groupBy(*keys, "__tok")
+        .agg(F.count("*").alias("__c"))
+    )
+    return (
+        raw.withColumn("word", normalize_word(F.col("__tok"), mode=mode))
+        .filter(F.length("word") > 0)
+        .groupBy(*keys, "word")
+        .agg(F.sum("__c").alias("cnt"))
+    )
+
+
 def word_count(
     spark: SparkSession,
     sf_dir: str,
@@ -85,9 +114,8 @@ def word_count(
     binary's per-first-file semantics generalized: reference SURVEY.md §0.3).
     """
     docs = load_table(spark, sf_dir, "documents")
-    words = words_from_text(docs.select("text", *(group_cols or [])), mode=mode)
     keys = [*(group_cols or []), "word"]
-    return words.groupBy(*keys).agg(F.count("*").alias("cnt")).orderBy(*keys)
+    return count_words(docs, mode=mode, group_cols=group_cols).orderBy(*keys)
 
 
 def ranked_word_count(spark: SparkSession, sf_dir: str, mode: str = "head") -> DataFrame:
