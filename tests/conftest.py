@@ -39,11 +39,11 @@ def duckdb_rows(sql: str, sf_dir: str = SF_DIR):
     return con.execute(sql).fetchall()
 
 
-def assert_matches_oracle(spark_df, sql: str, sf_dir: str = SF_DIR, float_tol: float = 1e-9):
+def assert_matches_oracle(spark_df, sql: str, sf_dir: str = SF_DIR):
     """Order-insensitive compare of a Spark result against DuckDB, mirroring
-    the driver's check: sort columns by name, sort rows, compare values."""
-    import math
-
+    the driver's check: sort columns by name, sort rows, compare STRINGIFIED
+    values EXACTLY (the driver value-hashes; a last-ulp float difference is
+    a real failure — queries must emit engine-stable values)."""
     cols = sorted(spark_df.columns)
     spark_rows = [tuple(row[c] for c in cols) for row in spark_df.collect()]
     duck_raw = duckdb_rows(sql, sf_dir)
@@ -69,9 +69,4 @@ def assert_matches_oracle(spark_df, sql: str, sf_dir: str = SF_DIR, float_tol: f
 
     for srow, drow in zip(sorted(spark_rows, key=key), sorted(duck_rows, key=key)):
         for sv, dv in zip(srow, drow):
-            if isinstance(sv, float) and isinstance(dv, float):
-                assert math.isclose(sv, dv, rel_tol=float_tol, abs_tol=float_tol), (
-                    f"value mismatch: {srow} vs {drow}"
-                )
-            else:
-                assert str(sv) == str(dv), f"value mismatch: {srow} vs {drow}"
+            assert str(sv) == str(dv), f"value mismatch: {srow} vs {drow}"

@@ -235,7 +235,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT count(*) AS n_docs FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.tok, tf.tf,
-             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
       FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
     )
     SELECT doc_id, tok, tf, tfidf FROM (
@@ -254,8 +254,11 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()  # scalar: fixed at plan time, like a broadcast var
+    # round(…, 6): ln() is not IEEE-correctly-rounded, so Java and libm
+    # differ in the last ulp — rank and emit on the rounded value so the
+    # oracle comparison (and the top-3 row selection) is engine-stable.
     scored = tf.join(F.broadcast(df_), "tok").withColumn(
-        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
     )
     from pyspark.sql import Window
 
