@@ -83,3 +83,13 @@ def test_scan_partition_pruning_on_filter(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
     plan = formatted_plan(li)
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45" in plan
+
+
+def test_metrics_side_channel(spark, sf_dir):
+    # reference parity: stage metrics to stderr (omp.cpp:227-230) — here the
+    # Observation API measures in-flight, no second pass
+    from wordcount_spark.operators.wordcount import word_count
+    from wordcount_spark.plans.metrics import run_with_metrics
+
+    m = run_with_metrics(word_count(spark, sf_dir), "wordcount")
+    assert m["rows"] > 0 and m["wall_s"] > 0

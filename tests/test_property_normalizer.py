@@ -1,0 +1,52 @@
+"""Property-based testing of the normalizer: the Spark expression must agree
+with an independent Python model of the reference's process_word on
+arbitrary generated tokens (hypothesis) — covering corners no hand-written
+golden list reaches (astral plane, combining marks, punct/unicode runs)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from wordcount_spark.functions.text import normalize_word
+
+PUNCT = set("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~")
+_WS = " \t\n\x0b\f\r"
+
+# tokens: any non-whitespace codepoints (the tokenizer owns whitespace);
+# exclude surrogates (not valid in UTF-8 strings)
+token_st = st.text(
+    alphabet=st.characters(
+        min_codepoint=1, blacklist_characters=_WS, blacklist_categories=("Cs",)
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+def model_process_word(w: str, mode: str) -> str:
+    """Independent Python model (reference sequential.cpp:12-37 semantics,
+    code-point level — equivalent to byte level for UTF-8, SURVEY.md §2.2)."""
+
+    def strippable(c: str) -> bool:
+        return c in PUNCT or (ord(c) > 127 if mode == "head" else False)
+
+    cs = list(w)
+    while cs and strippable(cs[0]):
+        cs.pop(0)
+    while cs and strippable(cs[-1]):
+        cs.pop()
+    return "".join(chr(ord(c) + 32) if "A" <= c <= "Z" else c for c in cs)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(token_st, min_size=1, max_size=60), st.sampled_from(["head", "stale"]))
+def test_normalizer_matches_model(spark, tokens, mode):
+    df = spark.createDataFrame([(t,) for t in tokens], ["tok"])
+    got = {
+        r["tok"]: r["norm"]
+        for r in df.select("tok", normalize_word("tok", mode=mode).alias("norm")).collect()
+    }
+    for t in tokens:
+        assert got[t] == model_process_word(t, mode), (
+            f"mode={mode} tok={t!r}: spark={got[t]!r} model={model_process_word(t, mode)!r}"
+        )
