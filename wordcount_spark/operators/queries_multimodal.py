@@ -64,6 +64,38 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_doc_embedding_join",
+    """
+    SELECT d.doc_id, d.lang,
+           e.label,
+           len(e.embedding) AS dim,
+           round(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sq_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ORDER BY d.doc_id
+    """,
+)
+def multimodal_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal columns joined: text rows ⋈ their embedding vectors by id
+    (the text+vector row a training pipeline feeds downstream)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select("doc_id", "lang", "label", F.size("embedding").alias("dim"),
+                F.round(sq, 4).alias("sq_norm"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_frame_sample",
     f"""
     WITH p AS ({_PAYLOAD_SQL}),

@@ -523,6 +523,136 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_union_all",
+    """
+    SELECT nationkey, count(*) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey FROM supplier
+    ) GROUP BY nationkey ORDER BY nationkey
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics — no dedup shuffle, just concatenation)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        c.unionAll(s).groupBy("nationkey").agg(F.count("*").alias("n")).orderBy("nationkey")
+    )
+
+
+@register(
+    "set_intersect_all",
+    """
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY k
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset: min of per-side multiplicities)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    return a.intersectAll(b).orderBy("k")
+
+
+@register(
+    "set_except_all",
+    """
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    ORDER BY k
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset minus: multiplicities subtract)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("k"))
+    return a.exceptAll(b).orderBy("k")
+
+
+@register(
+    "scalar_null_funcs",
+    """
+    WITH j AS (
+      SELECT c_custkey, c_acctbal, o_orderkey, o_totalprice
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus = 'P'
+    )
+    SELECT c_custkey, o_orderkey,
+           coalesce(o_orderkey, -1) AS okey_or_default,
+           CAST(ifnull(o_totalprice, 0.0) AS DECIMAL(18,2)) AS price_or_zero,
+           nullif(c_acctbal, 0.0) IS NULL AS bal_is_zero,
+           CASE WHEN o_orderkey IS NULL THEN 'none' ELSE 'some' END AS has_pending
+    FROM j ORDER BY c_custkey, o_orderkey
+    """,
+)
+def scalar_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling battery (coalesce/nvl/nullif/IS NULL) over an outer
+    join that actually produces NULLs."""
+    cust = _t(spark, sf_dir, "customer")
+    pend = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    j = cust.join(pend, cust.c_custkey == pend.o_custkey, "left")
+    return (
+        j.select(
+            "c_custkey",
+            "o_orderkey",
+            F.coalesce("o_orderkey", F.lit(-1)).alias("okey_or_default"),
+            F.nvl(F.col("o_totalprice"), F.lit(0.0)).cast("decimal(18,2)").alias(
+                "price_or_zero"
+            ),
+            F.nullif(F.col("c_acctbal"), F.lit(0.0)).isNull().alias("bal_is_zero"),
+            F.when(F.col("o_orderkey").isNull(), "none").otherwise("some").alias(
+                "has_pending"
+            ),
+        )
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "agg_argmax_join",
+    """
+    WITH mx AS (
+      SELECT c_nationkey, max(c_acctbal) AS best_bal
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT c.c_nationkey, min(c.c_custkey) AS best_cust,
+           CAST(mx.best_bal AS DECIMAL(18,2)) AS best_bal
+    FROM customer c JOIN mx
+      ON c.c_nationkey = mx.c_nationkey AND c.c_acctbal = mx.best_bal
+    GROUP BY c.c_nationkey, mx.best_bal
+    ORDER BY c.c_nationkey
+    """,
+)
+def agg_argmax_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic arg-max per group (customer with the top balance per
+    nation): max + self-join + min-id tiebreak — the formulation that is
+    engine-portable (native max_by/arg_max leave ties unspecified)."""
+    cust = _t(spark, sf_dir, "customer")
+    mx = cust.groupBy("c_nationkey").agg(F.max("c_acctbal").alias("best_bal"))
+    return (
+        cust.join(
+            F.broadcast(mx),
+            (cust.c_nationkey == mx.c_nationkey) & (cust.c_acctbal == mx.best_bal),
+        )
+        .drop(mx.c_nationkey)
+        .groupBy("c_nationkey", "best_bal")
+        .agg(F.min("c_custkey").alias("best_cust"))
+        .select(
+            "c_nationkey",
+            "best_cust",
+            F.col("best_bal").cast("decimal(18,2)").alias("best_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
     "order_limit_topk",
     """
     SELECT o_orderkey, o_totalprice FROM orders

@@ -271,6 +271,76 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT2-style pre-tokenizer pattern, restricted to syntax both Java regex and
+# RE2 support (no lookahead): contraction suffixes, letter runs, digit runs,
+# non-space-non-alnum runs.
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+@register(
+    "text_bpe_token_count",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}')) AS n_bpe_tokens,
+           len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+                           x -> x <> '')) AS n_ws_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish pre-tokenizer
+    regex (the LLM-cost-estimation primitive). Pure JVM regexp_extract_all."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias("n_bpe_tokens"),
+            F.size(_toks()).alias("n_ws_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_rolling_fingerprint",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(toks,
+                            s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs
+      FROM t
+    )
+    SELECT doc_id,
+           list_reduce(hs, (a, b) -> (a * 1000003 + b) % 2147483647) AS fingerprint
+    FROM h ORDER BY doc_id
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    the token-hash sequence, h = fold((a,b) -> (a*B + b) mod P). Unlike the
+    md5 content hash, equal fingerprints here respect token ORDER with
+    arithmetic cheap enough to run at 100 TB. 28-bit token hashes keep
+    a*B + b < 2^62 (no overflow under ANSI mode) — and DuckDB reproduces
+    every value exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+    hs = F.transform(
+        toks, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
+    )
+    fp = F.aggregate(
+        hs,
+        F.lit(0).cast("long"),
+        lambda a, b: (a * F.lit(1000003) + b) % F.lit(2147483647),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
 @register("agg_approx_sketches")  # rows-only: sketch internals are engine-specific
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketches (HLL++ distinct, quantile sketch): the cheap
