@@ -16,6 +16,7 @@ from wordcount_spark.operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    minhash_signatures_arr,
     simhash,
 )
 from wordcount_spark.registry import register
@@ -140,8 +141,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup path for 100 TB corpora.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = doc_shingles(docs)
-    sigs = minhash_signatures(sh, num_hashes=32, hash_mode="md5")
+    sigs = minhash_signatures(doc_shingles(docs), num_hashes=32, hash_mode="md5")
     return lsh_candidate_pairs(sigs, bands=8, rows=4, hash_mode="md5").orderBy(
         "ida", "idb"
     )
@@ -153,8 +153,7 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     per shingle instead of an md5 + hex decode). Same pipeline as the
     oracle-backed md5 variant; benched as the scale path."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = doc_shingles(docs)
-    sigs = minhash_signatures(sh, num_hashes=32, hash_mode="xxhash64")
+    sigs = minhash_signatures(doc_shingles(docs), num_hashes=32, hash_mode="xxhash64")
     return lsh_candidate_pairs(sigs, bands=8, rows=4, hash_mode="xxhash64").orderBy(
         "ida", "idb"
     )
