@@ -523,6 +523,67 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_regression",
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           round(corr(l_extendedprice, l_quantity), 6) AS r,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: OLS slope/intercept + correlation per group
+    (price ~ quantity). Rounded: covariance sums of doubles carry last-ulp
+    partition-order noise."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias(
+                "intercept"
+            ),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("r"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_histogram",
+    """
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 500000 THEN 11
+                ELSE CAST(floor(o_totalprice / 50000) AS BIGINT) + 1 END AS bucket,
+           count(*) AS n,
+           CAST(min(o_totalprice) AS DECIMAL(18,2)) AS lo,
+           CAST(max(o_totalprice) AS DECIMAL(18,2)) AS hi
+    FROM orders GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket — the profiling primitive
+    (one pass, map-side combinable)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(500000), F.lit(10)).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").cast("decimal(18,2)").alias("lo"),
+            F.max("o_totalprice").cast("decimal(18,2)").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
     "set_union_all",
     """
     SELECT nationkey, count(*) AS n FROM (
