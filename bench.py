@@ -27,8 +27,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "window_session",
+    "asof_join_last_order",
     "dedup_minhash_lsh_fast",
     "similarity_topk_bruteforce",
+    "text_tfidf_top_terms",
     "text_quality_score",
 ]
 

@@ -68,3 +68,15 @@ def test_streaming_user_state(spark, sf_dir):
     )
     for r in want:
         assert final[r["user_id"]] == (r["n"], r["last_us"]), r["user_id"]
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    from wordcount_spark.streaming.streams import streaming_dedup_events
+
+    got = run_to_completion(streaming_dedup_events(spark, sf_dir), "t_dedup", "append")
+    # one surviving row per (user_id, event_type) present in the input
+    # (all test events fit inside one watermark window)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = ev.select("user_id", "event_type").distinct().count()
+    assert got.select("user_id", "event_type").distinct().count() == want
+    assert got.count() == want

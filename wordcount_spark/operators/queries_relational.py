@@ -523,6 +523,33 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_balances",
+    """
+    SELECT c_custkey AS entity, 'customer' AS kind,
+           CAST(c_acctbal AS DECIMAL(18,2)) AS balance
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey, 'supplier', CAST(s_acctbal AS DECIMAL(18,2))
+    FROM supplier
+    ORDER BY kind, entity
+    """,
+)
+def unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via stack-style union of typed columns."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity"),
+        F.lit("customer").alias("kind"),
+        dec("c_acctbal").alias("balance"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity"),
+        F.lit("supplier").alias("kind"),
+        dec("s_acctbal").alias("balance"),
+    )
+    return c.unionAll(s).orderBy("kind", "entity")
+
+
+@register(
     "agg_regression",
     """
     SELECT l_returnflag,

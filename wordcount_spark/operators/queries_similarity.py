@@ -122,7 +122,65 @@ def similarity_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_ivf_topk")  # rows-only: iterative k-means training
+def _plane_signs(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane components from md5 of (plane, dim) —
+    reproducible in any engine, fixed across runs."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{p},{i}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def _rp_sig_sql(n_planes: int, dim: int) -> str:
+    """DuckDB: signature = list of sign bits of plane·embedding."""
+    planes = _plane_signs(n_planes, dim)
+    bits = []
+    for row in planes:
+        terms = " + ".join(
+            f"({s} * CAST(embedding[{i + 1}] AS DOUBLE))" for i, s in enumerate(row) if s == 1
+        )
+        neg = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE)" for i, s in enumerate(row) if s == -1
+        )
+        dot = f"({terms}) - ({neg})" if neg else f"({terms})"
+        bits.append(f"CASE WHEN {dot} > 0 THEN 1 ELSE 0 END")
+    return "[" + ", ".join(bits) + "]"
+
+
+@register(
+    "similarity_rp_lsh_buckets",
+    f"""
+    SELECT vec_id, array_to_string({_rp_sig_sql(8, 64)}, '') AS bucket
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def similarity_rp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (sign) LSH: 8 deterministic ±1 planes → 8-bit
+    bucket per vector; cos-similar vectors collide with prob
+    (1 - θ/π)^8. The scale path: bucketing is a pure map stage and the
+    candidate join is an equi-join on the bucket string.
+
+    Sign-of-dot-product is engine-stable: ±1 sums of the same doubles in
+    the same order are bit-identical, so even this float-derived BUCKET
+    hash-matches the oracle exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _plane_signs(8, 64)
+
+    def dot_sign(row: list[int]) -> Column:
+        pos = [F.element_at("embedding", i + 1).cast("double") for i, s in enumerate(row) if s == 1]
+        neg = [F.element_at("embedding", i + 1).cast("double") for i, s in enumerate(row) if s == -1]
+        pos_sum = sum(pos[1:], pos[0])
+        dot = pos_sum - sum(neg[1:], neg[0]) if neg else pos_sum
+        return F.when(dot > 0, F.lit("1")).otherwise(F.lit("0"))
+
+    sig = F.concat(*[dot_sign(r) for r in planes])
+    return emb.select("vec_id", sig.alias("bucket")).orderBy("vec_id")
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN search: k-means coarse quantizer (k=8,
     3 Lloyd iterations), then exact cosine scoring restricted to the

@@ -116,6 +116,17 @@ def streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keys state by
+    (user_id, event_type) and expires it once the watermark passes — the
+    bounded-memory streaming twin of batch dropDuplicates (the unbounded
+    version would accumulate state forever on an infinite stream)."""
+    ev = _events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
+    return ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
 def run_to_completion(stream_df: DataFrame, query_name: str, output_mode: str) -> DataFrame:
     """Drive a streaming DataFrame over the finite test input to completion
     via a memory sink; return the materialized result table."""
