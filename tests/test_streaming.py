@@ -80,3 +80,35 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     want = ev.select("user_id", "event_type").distinct().count()
     assert got.select("user_id", "event_type").distinct().count() == want
     assert got.count() == want
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    from wordcount_spark.streaming.streams import streaming_purchase_attribution
+
+    got = run_to_completion(
+        streaming_purchase_attribution(spark, sf_dir), "t_ssj", "append"
+    )
+    # batch twin: same interval join on the static table
+    from wordcount_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND click_ts >= purchase_ts - INTERVAL 1 HOUR "
+            "AND click_ts < purchase_ts"
+        ),
+    )
+    cols = ["purchase_id", "c_user", "click_ts"]
+    a = sorted(tuple(str(r[c]) for c in cols) for r in got.collect())
+    b = sorted(tuple(str(r[c]) for c in cols) for r in want.collect())
+    assert a == b and len(a) > 0

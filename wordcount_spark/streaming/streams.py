@@ -116,6 +116,39 @@ def streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same user's
+    clicks in the hour BEFORE it. Both sides are watermarked so Spark can
+    bound the join state (clicks older than purchase-watermark − 1h drop).
+    The canonical attribution query at 100 TB — state is per-key and
+    time-bounded, never the whole history."""
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user AND
+            click_ts >= purchase_ts - INTERVAL 1 HOUR AND
+            click_ts < purchase_ts
+            """
+        ),
+    )
+
+
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: dropDuplicatesWithinWatermark keys state by
     (user_id, event_type) and expires it once the watermark passes — the
