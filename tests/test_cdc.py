@@ -1,0 +1,52 @@
+"""CDC merge / SCD2 semantics tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wordcount_spark.operators.cdc import merge_upsert, merge_upsert_latest, scd2_apply
+
+
+def test_merge_upsert(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "name", "bal"]
+    )
+    changes = spark.createDataFrame(
+        [(2, "b2", 25.0), (4, "d", 40.0)], ["id", "name", "bal"]
+    )
+    got = {r["id"]: (r["name"], r["bal"]) for r in merge_upsert(target, changes, "id").collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 25.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_latest_wins(spark):
+    target = spark.createDataFrame([(1, "a", 0)], ["id", "name", "v"])
+    changes = spark.createDataFrame(
+        [(1, "a1", 1), (1, "a2", 2), (2, "b1", 1)], ["id", "name", "v"]
+    )
+    got = {r["id"]: (r["name"], r["v"]) for r in merge_upsert_latest(target, changes, "id", "v").collect()}
+    assert got == {1: ("a2", 2), 2: ("b1", 1)}
+
+
+def test_scd2_apply(spark):
+    dim = spark.createDataFrame(
+        [
+            (1, "x", "2020-01-01", None),
+            (2, "y", "2020-01-01", None),
+            (2, "old", "2019-01-01", "2020-01-01"),
+        ],
+        ["id", "attr", "valid_from", "valid_to"],
+    )
+    changes = spark.createDataFrame(
+        [(1, "x2", "2021-06-01", None), (2, "y", "2021-06-01", None)],
+        schema="id bigint, attr string, valid_from string, valid_to string",
+    )
+    rows = scd2_apply(dim, changes, "id", ["attr"]).collect()
+    by = sorted(((r["id"], r["attr"], r["valid_from"], r["valid_to"]) for r in rows))
+    assert by == sorted(
+        [
+            (1, "x", "2020-01-01", "2021-06-01"),   # closed
+            (1, "x2", "2021-06-01", None),          # new version
+            (2, "y", "2020-01-01", None),           # unchanged current
+            (2, "old", "2019-01-01", "2020-01-01"), # pre-existing history
+        ]
+    )

@@ -1,0 +1,39 @@
+"""Registry-wide plan audit: every registered query's physical plan is
+scanned for scale smells. A CartesianProduct or an unintended
+BroadcastNestedLoopJoin is a 100 TB outage regardless of row-level
+correctness — this test makes plan regressions un-mergeable."""
+
+from __future__ import annotations
+
+import pytest
+
+from wordcount_spark.plans.explain import formatted_plan
+
+# queries that intentionally join a 1-row broadcast side with no equi-key
+# (query-vector fan-out) — planned as BroadcastNestedLoopJoin on purpose
+BNLJ_OK = {"similarity_topk_bruteforce", "similarity_ivf_topk"}
+
+# streaming / iterative queries execute eagerly inside the callable —
+# plan introspection would run them; they're audited by their own tests
+SKIP = {"streaming_wordcount", "streaming_windowed_counts", "similarity_ivf_topk"}
+
+
+def _registry():
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries()
+
+
+def pytest_generate_tests(metafunc):
+    if "plan_query" in metafunc.fixturenames:
+        metafunc.parametrize("plan_query", sorted(set(_registry()) - SKIP))
+
+
+def test_no_plan_smells(spark, plan_query):
+    df = _registry()[plan_query](spark, "/root/testdata/sf0.001")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, f"{plan_query} plans a cartesian product"
+    if plan_query not in BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{plan_query} plans an unintended nested-loop join"
+        )
