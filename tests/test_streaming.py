@@ -112,3 +112,34 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     a = sorted(tuple(str(r[c]) for c in cols) for r in got.collect())
     b = sorted(tuple(str(r[c]) for c in cols) for r in want.collect())
     assert a == b and len(a) > 0
+
+
+def test_foreach_batch_exactly_once_sink(spark, sf_dir, tmp_path):
+    """foreachBatch: the escape hatch for sinks without native streaming
+    support — per-epoch idempotent parquet writes (epoch id = the
+    exactly-once replay key)."""
+    from wordcount_spark.streaming.streams import streaming_wordcount
+
+    out = str(tmp_path / "batches")
+    seen = []
+
+    def sink(df, epoch_id):
+        seen.append(epoch_id)
+        df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+    q = (
+        streaming_wordcount(spark, sf_dir)
+        .writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen, "no epochs fired"
+    last = spark.read.parquet(f"{out}/epoch={max(seen)}")
+    from wordcount_spark.operators.wordcount import word_count
+
+    want = word_count(spark, sf_dir).count()
+    assert last.count() == want

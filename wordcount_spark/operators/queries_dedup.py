@@ -16,7 +16,6 @@ from wordcount_spark.operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
-    minhash_signatures_arr,
     simhash,
 )
 from wordcount_spark.registry import register
