@@ -10,8 +10,13 @@ import pytest
 from wordcount_spark.plans.explain import formatted_plan
 
 # queries that intentionally join a 1-row broadcast side with no equi-key
-# (query-vector fan-out) — planned as BroadcastNestedLoopJoin on purpose
-BNLJ_OK = {"similarity_topk_bruteforce", "similarity_ivf_topk"}
+# (query-vector fan-out, scalar-subquery threshold) — planned as
+# BroadcastNestedLoopJoin on purpose
+BNLJ_OK = {
+    "similarity_topk_bruteforce",
+    "similarity_ivf_topk",
+    "q22_sales_opportunity",
+}
 
 # streaming / iterative queries execute eagerly inside the callable —
 # plan introspection would run them; they're audited by their own tests

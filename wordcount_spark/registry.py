@@ -35,6 +35,7 @@ def _load_all() -> None:
 
     for mod in (
         "queries_relational",
+        "queries_tpch_extra",
         "queries_windows",
         "queries_streaming",
         "queries_asof",
