@@ -36,6 +36,7 @@ def _load_all() -> None:
     for mod in (
         "queries_relational",
         "queries_tpch_extra",
+        "queries_analytic_extra",
         "queries_windows",
         "queries_streaming",
         "queries_asof",
