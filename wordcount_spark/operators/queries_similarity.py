@@ -250,3 +250,95 @@ def similarity_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.avg("v").cast("float").alias("centroid_v"))
         .orderBy("label", "dim")
     )
+
+
+@register(
+    "similarity_multiquery_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT a.qid, b.vec_id, b.label,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim
+      FROM q a CROSS JOIN embeddings b
+      WHERE b.vec_id >= 8
+    ),
+    ranked AS (
+      SELECT qid, vec_id, label, cos_sim,
+             row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT qid, vec_id, label, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY qid, rnk
+    """,
+)
+def similarity_multiquery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched top-5 neighbors for 8 query vectors at once — the shape a
+    training-data pipeline actually runs (a *batch* of probes, not one).
+
+    Two-tier plan for 100 TB: (1) an Arrow-batched pandas UDF scores each
+    partition against the whole query matrix with one float64 matmul and
+    keeps a generous per-partition top-16 per query (a prune, so numpy's
+    non-sequential summation order can't cost recall at margin 16 vs 5);
+    (2) the ≤ 16·partitions·8 survivors re-score with the engine's
+    sequential-fold cosine — deterministic doubles, so the final ranking
+    hash-matches DuckDB exactly. The corpus is scanned once, never
+    shuffled; candidates broadcast back for the re-score join.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    )
+    qmat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in qrows])
+    qids = np.array([r.vec_id for r in qrows])
+    qnorm = np.linalg.norm(qmat, axis=1)
+    bc = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    def prune(batches):
+        q_ids, q_mat, q_norms = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            sims = (q_mat @ m.T) / (
+                q_norms[:, None] * np.linalg.norm(m, axis=1)[None, :]
+            )
+            keep = min(16, sims.shape[1])
+            idx = np.argpartition(-sims, keep - 1, axis=1)[:, :keep]
+            out_qid = np.repeat(q_ids, keep)
+            out_vid = pdf["vec_id"].to_numpy()[idx.ravel()]
+            yield pd.DataFrame({"qid": out_qid, "vec_id": out_vid})
+
+    cand = (
+        emb.filter(F.col("vec_id") >= 8)
+        .select("vec_id", "embedding")
+        .mapInPandas(prune, schema="qid long, vec_id long")
+    )
+    from pyspark.sql import Window
+
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    rescored = (
+        emb.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("qid", "rnk")
+    )

@@ -414,3 +414,86 @@ def text_token_freq_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .orderBy("lang", F.desc("cnt"), "tok")
     )
+
+
+@register(
+    "text_token_diversity",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter({_TOKS_SQL}, x -> x <> '')) AS tok
+      FROM documents
+    ),
+    c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok)
+    SELECT doc_id,
+           sum(c) AS n_tokens,
+           count(*) AS n_unique,
+           CAST(sum(c * c) AS DOUBLE) / (sum(c) * sum(c)) AS simpson_index
+    FROM c GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Simpson diversity index (repeated-token concentration
+    — a template-spam signal for training-data quality gates).
+
+    Computed from integer token counts only: sum(c²)/n² is two exact
+    integer sums and ONE double division, so it hash-matches DuckDB with
+    no float tolerance. Both groupBys get map-side partial aggregation;
+    the (doc_id, tok) shuffle key is high-cardinality and unskewed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(_toks()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_unique"),
+            (
+                F.sum(F.col("c") * F.col("c")).cast("double")
+                / (F.sum("c") * F.sum("c"))
+            ).alias("simpson_index"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_bigram_top",
+    f"""
+    WITH t AS (
+      SELECT list_filter({_TOKS_SQL}, x -> x <> '') AS toks FROM documents
+    ),
+    b AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t WHERE len(toks) >= 2
+    )
+    SELECT bigram, count(*) AS cnt
+    FROM b GROUP BY bigram
+    ORDER BY cnt DESC, bigram LIMIT 50
+    """,
+)
+def text_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 bigrams — n-gram language-model / contamination
+    probe. Bigrams come from zipping the token array with its own shifted
+    slice (pure JVM array ops, no positional self-join — the join version
+    would shuffle the exploded corpus twice at 100 TB). The count agg gets
+    map-side partials; top-50 is TakeOrdered, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "bigram")
+        .limit(50)
+    )

@@ -491,3 +491,240 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "q9_pseudo_profit",
+    """
+    WITH amounts AS (
+      SELECT s_nationkey,
+             EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS revenue,
+             CAST(l_quantity AS DECIMAL(9,2)) * CAST(p_retailprice AS DECIMAL(9,2))
+               * CAST(0.5 AS DECIMAL(2,1)) AS cost
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      WHERE p_type IN ('PROMO', 'ECONOMY')
+    )
+    SELECT s_nationkey AS nationkey, o_year,
+           CAST(sum(revenue) AS DOUBLE) - CAST(sum(cost) AS DOUBLE) AS profit
+    FROM amounts
+    GROUP BY s_nationkey, o_year
+    ORDER BY nationkey, o_year
+    """,
+)
+def q9_pseudo_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year) adapted to the
+    partsupp-less schema: supply cost is modeled as half the part's retail
+    price. Reference has no joins at all (SURVEY.md §2.7).
+
+    Plan shape: part and supplier broadcast into the lineitem scan (the
+    p_type filter prunes lineitem rows *before* the only fact-fact shuffle,
+    lineitem⋈orders). Revenue and cost are summed as exact decimals
+    (order-independent); profit is one deterministic double subtraction at
+    the end, so Spark and DuckDB hash-match.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_type").isin("PROMO", "ECONOMY")
+    ).select("p_partkey", "p_retailprice")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    amounts = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("s_nationkey"),
+            F.year("o_orderdate").alias("o_year"),
+            _revenue().alias("revenue"),
+            (
+                F.col("l_quantity").cast("decimal(9,2)")
+                * F.col("p_retailprice").cast("decimal(9,2)")
+                * F.lit("0.5").cast("decimal(2,1)")
+            ).alias("cost"),
+        )
+    )
+    return (
+        amounts.groupBy(F.col("s_nationkey").alias("nationkey"), "o_year")
+        .agg(
+            (
+                F.sum("revenue").cast("double") - F.sum("cost").cast("double")
+            ).alias("profit")
+        )
+        .orderBy("nationkey", "o_year")
+    )
+
+
+@register(
+    "q12_ship_lag_priority",
+    """
+    SELECT CASE WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) < 0 THEN 'backdated'
+                WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) <= 30 THEN 'fast'
+                WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) <= 365 THEN 'normal'
+                ELSE 'slow' END AS ship_lag_class,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY ship_lag_class
+    ORDER BY ship_lag_class
+    """,
+)
+def q12_ship_lag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode service classes) adapted: the schema
+    has no l_shipmode/l_commitdate, so lines are classed by order-to-ship
+    lag instead, and the Q12 CASE-sum splits priorities per class.
+
+    Plan shape: the shipdate range predicate pushes into the parquet scan
+    (row-group skipping at scale); one fact-fact shuffle join on orderkey;
+    the CASE buckets collapse to a 4-group hash agg with map-side partials.
+    Lag arithmetic is DATE subtraction (integer days) — exact both engines.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.when(lag < 0, "backdated")
+            .when(lag <= 30, "fast")
+            .when(lag <= 365, "normal")
+            .otherwise("slow")
+            .alias("ship_lag_class"),
+            F.when(high, 1).otherwise(0).alias("is_high"),
+        )
+        .groupBy("ship_lag_class")
+        .agg(
+            F.sum("is_high").alias("high_line_count"),
+            F.sum(1 - F.col("is_high")).alias("low_line_count"),
+        )
+        .orderBy("ship_lag_class")
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    """
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_type <> 'STANDARD'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier variety per part attribute) adapted: the
+    part-supplier relationships come from lineitem instead of partsupp, and
+    the 'complaints' exclusion becomes a negative-balance supplier NOT IN.
+
+    Plan shape: part (filtered, broadcast) prunes the lineitem scan; the
+    exclusion is a broadcast anti join (NOT IN on a non-nullable key); the
+    count(DISTINCT) shuffles once on the group keys with partial distinct
+    (Spark expands to two-level agg). No global sort until the tiny result.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") != "STANDARD")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey,
+             CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) > 180 AS is_late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT l_suppkey AS suppkey, count(*) AS numwait
+    FROM late l1
+    WHERE is_late
+      AND EXISTS (SELECT 1 FROM late l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.is_late)
+    GROUP BY l_suppkey
+    ORDER BY numwait DESC, suppkey
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting) adapted: "late"
+    is ship-lag > 180 days (no l_receiptdate/commitdate in this schema).
+    A supplier is counted when its line was late on a finalized multi-
+    supplier order where *no other* supplier was late.
+
+    The textbook form is EXISTS + NOT EXISTS self-joins (the oracle runs
+    exactly that); a 100 TB plan replaces both with ONE per-order aggregate
+    — count of distinct suppliers and of distinct late suppliers — joined
+    back to the late lines. One shuffle on orderkey for the agg, one for
+    the join-back, instead of two self-shuffles of the fact table.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    late = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            > 180
+        ).alias("is_late"),
+    )
+    per_order = late.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    return (
+        late.filter(F.col("is_late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "suppkey")
+    )

@@ -160,3 +160,91 @@ def window_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_funnel",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT u.user_id,
+           CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth,
+           v.t1 AS t_view, c.t2 AS t_click, p.t3 AS t_purchase
+    FROM u
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    ORDER BY u.user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view → click → purchase, strictly later
+    timestamps per stage) — the conversion-analysis shape.
+
+    The textbook form is one self-join per stage (the oracle runs exactly
+    that); at 100 TB each stage would re-shuffle the event log. Here the
+    log shuffles ONCE on user_id; each user's events are sorted locally
+    and a single JVM-side `aggregate` fold walks them to find the staged
+    minima. State per user is three timestamps, not the event list — and
+    the fold runs inside codegen, no Python. Skewed users cost O(their
+    events); the collect_list ceiling is per-user event count, the same
+    bound the self-join plans pay in the join fan-out.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    null_ts = F.lit(None).cast("timestamp")
+
+    def step(acc, e):
+        t1, t2, t3 = acc["t1"], acc["t2"], acc["t3"]
+        ty, ts = e["event_type"], e["ts"]
+        return F.struct(
+            F.when(t1.isNull() & (ty == "view"), ts).otherwise(t1).alias("t1"),
+            F.when(
+                t1.isNotNull() & t2.isNull() & (ty == "click") & (ts > t1), ts
+            )
+            .otherwise(t2)
+            .alias("t2"),
+            F.when(
+                t2.isNotNull() & t3.isNull() & (ty == "purchase") & (ts > t2),
+                ts,
+            )
+            .otherwise(t3)
+            .alias("t3"),
+        )
+
+    folded = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            "user_id",
+            F.aggregate(
+                "evs",
+                F.struct(
+                    null_ts.alias("t1"), null_ts.alias("t2"), null_ts.alias("t3")
+                ),
+                step,
+            ).alias("f"),
+        )
+    )
+    return folded.select(
+        "user_id",
+        F.when(F.col("f.t3").isNotNull(), 3)
+        .when(F.col("f.t2").isNotNull(), 2)
+        .when(F.col("f.t1").isNotNull(), 1)
+        .otherwise(0)
+        .alias("funnel_depth"),
+        F.col("f.t1").alias("t_view"),
+        F.col("f.t2").alias("t_click"),
+        F.col("f.t3").alias("t_purchase"),
+    ).orderBy("user_id")
