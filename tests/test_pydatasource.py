@@ -1,0 +1,84 @@
+"""Custom Python DataSource (synthdocs): batch partitioning, determinism,
+and micro-batch streaming with offset progression."""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from wordcount_spark.sources.pydatasource import SynthDocsDataSource
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(SynthDocsDataSource)
+
+
+def _load(spark, **opts):
+    r = spark.read.format("synthdocs")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_batch_rows_and_schema(spark):
+    df = _load(spark, partitions=4, rows_per_partition=50, seed=7)
+    assert df.count() == 200
+    assert df.schema.simpleString() == (
+        "struct<doc_id:bigint,text:string,lang:string,source:string,n_chars:bigint>"
+    )
+    # one InputPartition per requested partition
+    assert df.rdd.getNumPartitions() == 4
+
+
+def test_batch_deterministic_and_ids_unique(spark):
+    def corpus_hash(df):
+        return df.agg(F.bit_xor(F.xxhash64(*df.columns))).collect()[0][0]
+
+    a = _load(spark, partitions=3, rows_per_partition=40, seed=11)
+    b = _load(spark, partitions=3, rows_per_partition=40, seed=11)
+    assert corpus_hash(a) == corpus_hash(b)
+    assert a.select("doc_id").distinct().count() == 120
+    # different seed -> different corpus
+    c = _load(spark, partitions=3, rows_per_partition=40, seed=12)
+    assert corpus_hash(c) != corpus_hash(a)
+
+
+def test_batch_content_independent_of_partitioning(spark):
+    """Same (seed, total rows) sliced 2 ways must be the same corpus —
+    doc content is a function of doc_id, not of partition layout."""
+    a = _load(spark, partitions=2, rows_per_partition=60, seed=5)
+    b = _load(spark, partitions=6, rows_per_partition=20, seed=5)
+    assert sorted(a.collect()) == sorted(b.collect())
+
+
+def test_stream_microbatches_advance(spark, tmp_path):
+    df = (
+        spark.readStream.format("synthdocs")
+        .option("batch_rows", 25)
+        .option("seed", 3)
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("synthdocs_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            n = spark.sql("SELECT count(*) c FROM synthdocs_sink").collect()[0].c
+            if n >= 50:  # at least two micro-batches landed
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    # source is unbounded — counts are only stable once the query is stopped
+    n, ids = spark.sql(
+        "SELECT count(*) c, count(DISTINCT doc_id) d FROM synthdocs_sink"
+    ).collect()[0]
+    assert n >= 50 and n % 25 == 0
+    assert ids == n  # offsets advance, no batch replayed into the sink

@@ -294,3 +294,126 @@ def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("ida", "idb")
     )
+
+
+_CURATION_SQL = """
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang, text, len(toks) AS n_tokens,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+             len(list_filter(toks, x -> list_contains({stop!r}, x))) AS n_stop
+      FROM t
+    ),
+    kept AS (
+      SELECT doc_id, lang, text, n_tokens FROM m
+      WHERE n_tokens >= 20
+        AND CAST(n_punct AS DOUBLE) / n_chars < 0.1
+        AND CAST(n_stop AS DOUBLE) / n_tokens > 0.05
+    ),
+    keepers AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+    k AS (SELECT kept.* FROM kept JOIN keepers ON kept.doc_id = keepers.doc_id),
+    sh AS (
+      SELECT doc_id AS id,
+             unnest(list_distinct(
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                                        i -> array_to_string(toks[i:i+2], ' '))
+                    ELSE [] END)) AS shingle
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+                               x -> x <> '') AS toks
+            FROM k)
+    ),
+    x AS (SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS x FROM sh),
+    params(i, a, b) AS (SELECT * FROM (VALUES (0, 1373158607, 239081663), (1, 53710185, 1592467581), (2, 590620972, 525901256), (3, 479341424, 299655412), (4, 1581559893, 220106707), (5, 1453201079, 1590571865), (6, 1915941033, 1171165722), (7, 186699714, 1268073012), (8, 906070221, 68252793), (9, 63989048, 201209005), (10, 469521478, 499635468), (11, 1085242217, 1292825378), (12, 56985562, 1205264595), (13, 427000597, 1537640408), (14, 1395616197, 1506083910), (15, 1170252924, 900911954), (16, 473392625, 964669077), (17, 1265438423, 597409992), (18, 1738238662, 1866808229), (19, 13955984, 1629526405), (20, 1730483679, 342865762), (21, 1499242942, 907557512), (22, 730682428, 596724164), (23, 333889689, 462382781), (24, 2055599410, 1639591159), (25, 722831293, 219494902), (26, 199170185, 815887678), (27, 207696844, 770902343), (28, 1819980298, 738639288), (29, 1296491778, 568054227), (30, 1733294784, 93309105), (31, 1567087081, 986607411))),
+    mh AS (SELECT id, i, min((a * x + b) % 2147483647) AS h FROM x CROSS JOIN params GROUP BY id, i),
+    sig AS (SELECT id, list(h ORDER BY i) AS sig FROM mh GROUP BY id),
+    banded AS (
+      SELECT id, band,
+             md5(array_to_string(sig[band*4+1:band*4+4], ',')) AS bucket
+      FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band)
+    ),
+    dupes AS (
+      SELECT DISTINCT b.id AS idb FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    )
+    SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+    FROM k LEFT JOIN dupes ON k.doc_id = dupes.idb
+    WHERE dupes.idb IS NULL
+    GROUP BY lang ORDER BY lang
+"""
+
+
+def _register_pipeline_curation():
+    """Registered via a closure so the oracle SQL can bake in STOPWORDS
+    (shared with text_quality_score — the gate predicates must be
+    bit-identical between the standalone query and the pipeline)."""
+    from wordcount_spark.operators.queries_textstats import STOPWORDS
+
+    @register("pipeline_curation", _CURATION_SQL.format(stop=STOPWORDS))
+    def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """End-to-end training-data curation — the composite a 100 TB corpus
+        actually runs, chaining four operators this engine already ships:
+
+        1. quality gate (C4/Gopher-style: ≥20 tokens, punct ratio < 0.1,
+           stopword ratio > 0.05) — pure map, no shuffle, prunes early so
+           every later stage sees only surviving rows;
+        2. exact dedup — one shuffle on md5(text), keeper = min doc_id;
+        3. near-dup removal — MinHash(32)+LSH(8×4) candidate pairs on the
+           exact-dedup survivors; greedy min-id survivor (doc dropped iff it
+           is the larger id of a pair; the connected-components clusterer in
+           operators/components.py is the transitive alternative);
+        4. per-lang corpus stats over the final survivors.
+
+        The oracle replays all four stages in SQL (md5-mode minhash), so the
+        whole pipeline — not just its pieces — is differentially checked.
+        """
+        docs = load_table(spark, sf_dir, "documents")
+        toks = F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
+        stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+        m = docs.select(
+            "doc_id",
+            "lang",
+            "text",
+            F.size(toks).alias("n_tokens"),
+            F.length("text").alias("n_chars"),
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", r"\p{Punct}", ""))
+            ).alias("n_punct"),
+            F.size(
+                F.filter(toks, lambda x: F.array_contains(stop_arr, x))
+            ).alias("n_stop"),
+        )
+        kept = m.filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_punct").cast("double") / F.col("n_chars") < 0.1)
+            & (F.col("n_stop").cast("double") / F.col("n_tokens") > 0.05)
+        ).select("doc_id", "lang", "text", "n_tokens")
+        keepers = (
+            kept.groupBy(F.md5("text"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        k = kept.join(keepers, "doc_id")
+        sigs = minhash_signatures(doc_shingles(k), num_hashes=32, hash_mode="md5")
+        pairs = lsh_candidate_pairs(sigs, bands=8, rows=4, hash_mode="md5")
+        dupes = pairs.select(F.col("idb").alias("doc_id")).distinct()
+        return (
+            k.join(dupes, "doc_id", "left_anti")
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("total_tokens"),
+            )
+            .orderBy("lang")
+        )
+
+
+_register_pipeline_curation()

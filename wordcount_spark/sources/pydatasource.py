@@ -1,0 +1,116 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API): a
+deterministic synthetic-documents generator, batch + streaming.
+
+Why a generator source: at 100 TB you scale-test the engine by *generating*
+the corpus on the executors instead of copying it through storage — the
+source fans out one InputPartition per requested partition, each seeded
+independently, so 1000 executors synthesize 1000 slices in parallel with
+zero I/O and bit-reproducible content (seed option). The reference's only
+source is whitespace-token text files (SURVEY.md §2.1); this is the
+extension-surface counterpart for connector extensibility.
+
+Batch:   spark.read.format("synthdocs").option("partitions", 8)
+             .option("rows_per_partition", 1000).option("seed", 42).load()
+Stream:  spark.readStream.format("synthdocs").option("batch_rows", 100)...
+         (offset = next doc_id — resume-safe, exactly-once with a
+         replayable deterministic payload).
+
+Registration is per-session: `spark.dataSource.register(SynthDocsDataSource)`.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+#: same flavor of vocabulary as the driver's synthetic documents table
+_WORDS = (
+    "the data spark table row column scan filter join group agg sort merge "
+    "hash key value batch stream window part order line customer query fast "
+    "slow small large dup stale fresh token text lang doc count"
+).split()
+
+_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+_LANGS = ["en", "de", "fr", "es", "zh"]
+_SOURCES = ["web", "books", "wiki", "code"]
+
+
+def _make_doc(doc_id: int, seed: int) -> tuple:
+    """One deterministic document row: content is a pure function of
+    (seed, doc_id), independent of partition layout — repartitioning the
+    source never changes the data, only its placement."""
+    rng = random.Random((seed << 32) ^ doc_id)
+    n = rng.randint(5, 120)
+    text = " ".join(rng.choice(_WORDS) for _ in range(n))
+    return (
+        doc_id,
+        text,
+        rng.choice(_LANGS),
+        rng.choice(_SOURCES),
+        len(text),
+    )
+
+
+class _Slice(InputPartition):
+    def __init__(self, start: int, end: int, seed: int):
+        self.start, self.end, self.seed = start, end, seed
+
+
+class SynthDocsBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_parts = int(options.get("partitions", "4"))
+        self.rows = int(options.get("rows_per_partition", "100"))
+        self.seed = int(options.get("seed", "42"))
+
+    def partitions(self) -> list[InputPartition]:
+        return [
+            _Slice(i * self.rows, (i + 1) * self.rows, self.seed)
+            for i in range(self.n_parts)
+        ]
+
+    def read(self, partition: _Slice) -> Iterator[tuple]:
+        for doc_id in range(partition.start, partition.end):
+            yield _make_doc(doc_id, partition.seed)
+
+
+class SynthDocsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch generator: offset = next doc_id to emit. read() is
+    deterministic given the offset, so failed batches replay identically
+    (the exactly-once contract the foreachBatch sink test relies on)."""
+
+    def __init__(self, options: dict):
+        self.batch_rows = int(options.get("batch_rows", "100"))
+        self.seed = int(options.get("seed", "42"))
+
+    def initialOffset(self) -> dict:
+        return {"next_id": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        lo = start["next_id"]
+        hi = lo + self.batch_rows
+        return (
+            iter([_make_doc(i, self.seed) for i in range(lo, hi)]),
+            {"next_id": hi},
+        )
+
+
+class SynthDocsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthdocs"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> SynthDocsBatchReader:
+        return SynthDocsBatchReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SynthDocsStreamReader:
+        return SynthDocsStreamReader(self.options)
