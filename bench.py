@@ -26,10 +26,15 @@ HEADLINE = [
     "wordcount_per_source",
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q9_pseudo_profit",
+    "q21_waiting_suppliers",
     "window_session",
+    "events_funnel",
     "asof_join_last_order",
     "dedup_minhash_lsh_fast",
+    "pipeline_curation",
     "similarity_topk_bruteforce",
+    "similarity_multiquery_topk",
     "text_tfidf_top_terms",
     "text_quality_score",
 ]

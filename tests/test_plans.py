@@ -93,3 +93,41 @@ def test_metrics_side_channel(spark, sf_dir):
 
     m = run_with_metrics(word_count(spark, sf_dir), "wordcount")
     assert m["rows"] > 0 and m["wall_s"] > 0
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """A selective filter on one side of a shuffle join should inject a
+    runtime bloom filter (`might_contain`) on the fact side — Spark's
+    answer to partition-elimination for non-partition join keys. At real
+    scale the 10 GB application-side threshold triggers on its own; locally
+    we lower it to 0 to pin the mechanism."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = formatted_plan(j)
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

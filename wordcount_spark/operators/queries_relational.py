@@ -1071,3 +1071,30 @@ def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "scalar_try_funcs",
+    """
+    SELECT o_orderkey,
+           o_totalprice / nullif(CAST(o_custkey % 5 AS DOUBLE), 0.0) AS safe_div,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault-tolerant scalar battery: under ANSI SQL mode (Spark 4's
+    default) a bad cast or division aborts the whole 1000-executor job —
+    try_divide/try_cast return NULL per row instead, which is the only
+    sane semantics for dirty data at corpus scale. DuckDB has no
+    try_divide, so the oracle expresses it as x / nullif(y, 0)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice"), (F.col("o_custkey") % 5).cast("double")
+        ).alias("safe_div"),
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
+    ).orderBy("o_orderkey")
