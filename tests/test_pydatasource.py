@@ -82,3 +82,42 @@ def test_stream_microbatches_advance(spark, tmp_path):
     ).collect()[0]
     assert n >= 50 and n % 25 == 0
     assert ids == n  # offsets advance, no batch replayed into the sink
+
+
+def test_stream_wordcount_parity_with_batch(spark, tmp_path):
+    """synthdocs stream → reference normalization → incremental count must
+    equal the batch word count over the same doc range (stream ≡ batch)."""
+    from wordcount_spark.operators.wordcount import words_from_text
+
+    stream = (
+        spark.readStream.format("synthdocs")
+        .option("batch_rows", 200)
+        .option("max_rows", 600)  # finite stream -> deterministic range
+        .option("seed", 9)
+        .load()
+    )
+    counts = words_from_text(stream).groupBy("word").count()
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("synth_wc")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "wc_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # drains exactly docs [0, 600)
+    finally:
+        q.stop()
+    stream_rows = {
+        (r.word, r["count"])
+        for r in spark.sql("SELECT word, count FROM synth_wc").collect()
+    }
+    batch = _load(spark, partitions=4, rows_per_partition=150, seed=9)
+    batch_rows = {
+        (r.word, r.cnt)
+        for r in words_from_text(batch)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert stream_rows == batch_rows

@@ -145,18 +145,31 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user activity profile (the stateful-aggregation shape that
-    becomes arbitrary-state streaming in the streaming module)."""
+    becomes arbitrary-state streaming in the streaming module).
+
+    Mixing count(DISTINCT) with plain aggs would plan an Expand — two
+    copies of the event log into the shuffle. Pre-aggregating at
+    (user, event_type) grain gives the same profile with one copy: every
+    outer agg is a composition of the inner ones (count distinct = row
+    count, min of mins, sum of counts)."""
     ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
     return (
-        ev.groupBy("user_id")
+        per_type.groupBy("user_id")
         .agg(
-            F.count("*").alias("n_events"),
-            F.countDistinct("event_type").alias("n_types"),
-            F.min("ts").alias("first_seen"),
-            F.max("ts").alias("last_seen"),
-            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
-                "n_purchases"
-            ),
+            F.sum("cnt").alias("n_events"),
+            F.count("*").alias("n_types"),
+            F.min("min_ts").alias("first_seen"),
+            F.max("max_ts").alias("last_seen"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_purchases"),
         )
         .orderBy("user_id")
     )

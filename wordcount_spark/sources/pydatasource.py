@@ -83,11 +83,15 @@ class SynthDocsBatchReader(DataSourceReader):
 class SynthDocsStreamReader(SimpleDataSourceStreamReader):
     """Micro-batch generator: offset = next doc_id to emit. read() is
     deterministic given the offset, so failed batches replay identically
-    (the exactly-once contract the foreachBatch sink test relies on)."""
+    (the exactly-once contract the foreachBatch sink test relies on).
+    `max_rows` bounds the stream (empty batch + unchanged offset once
+    exhausted) — a finite replay for stream≡batch parity tests; omit it
+    for an unbounded feed."""
 
     def __init__(self, options: dict):
         self.batch_rows = int(options.get("batch_rows", "100"))
         self.seed = int(options.get("seed", "42"))
+        self.max_rows = int(options.get("max_rows", "-1"))
 
     def initialOffset(self) -> dict:
         return {"next_id": 0}
@@ -95,6 +99,8 @@ class SynthDocsStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         lo = start["next_id"]
         hi = lo + self.batch_rows
+        if self.max_rows >= 0:
+            hi = min(hi, self.max_rows)
         return (
             iter([_make_doc(i, self.seed) for i in range(lo, hi)]),
             {"next_id": hi},
