@@ -143,3 +143,39 @@ def test_foreach_batch_exactly_once_sink(spark, sf_dir, tmp_path):
 
     want = word_count(spark, sf_dir).count()
     assert last.count() == want
+
+
+def test_streaming_funnel_transform_with_state(spark, sf_dir):
+    """transformWithState funnel ≡ batch events_funnel (depth per user)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's state-server protocol needs protobuf "
+        "(absent in this container; operator is import-gated)",
+    )
+    from wordcount_spark.operators.queries_windows import events_funnel
+    from wordcount_spark.streaming.streams import streaming_funnel_state
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = streaming_funnel_state(spark, sf_dir)
+        got = run_to_completion(stream, "t_funnel_tws", "update")
+        # update mode re-emits a user on every batch that touches it; the
+        # single-file source yields one batch, but dedup defensively
+        stream_depth = {
+            r.user_id: r.funnel_depth
+            for r in got.orderBy("user_id").collect()
+        }
+        batch_depth = {
+            r.user_id: r.funnel_depth
+            for r in events_funnel(spark, sf_dir).collect()
+        }
+        assert stream_depth == batch_depth
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)

@@ -175,3 +175,59 @@ def run_to_completion(stream_df: DataFrame, query_name: str, output_mode: str) -
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def streaming_funnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered funnel (view → click → purchase) via
+    ``transformWithState`` — Spark 4's typed arbitrary-state API
+    (successor to applyInPandasWithState: named state variables, RocksDB
+    column families, timers). State per user is three µs timestamps
+    (0 = stage not reached), exactly the fold accumulator of the batch
+    `events_funnel` operator — the replay test pins stream ≡ batch.
+
+    Requires the RocksDB state store provider (the test sets
+    ``spark.sql.streaming.stateStore.providerClass``) and protobuf for the
+    Python↔JVM state-server protocol — absent in this container, so the
+    replay test import-skips; the operator itself is complete."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "ts", "event_type")
+
+    class FunnelProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.stages = handle.getValueState(
+                "stages", "t1 long, t2 long, t3 long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            t1, t2, t3 = (
+                self.stages.get() if self.stages.exists() else (0, 0, 0)
+            )
+            pdf = pd.concat(list(rows)).sort_values("ts")
+            for ts, typ in zip(pdf["ts"], pdf["event_type"]):
+                us = int(ts.value // 1000)  # pandas ns → µs
+                if t1 == 0 and typ == "view":
+                    t1 = us
+                elif t1 != 0 and t2 == 0 and typ == "click" and us > t1:
+                    t2 = us
+                elif t2 != 0 and t3 == 0 and typ == "purchase" and us > t2:
+                    t3 = us
+            self.stages.update((t1, t2, t3))
+            depth = 3 if t3 else 2 if t2 else 1 if t1 else 0
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "funnel_depth": [depth]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=FunnelProcessor(),
+        outputStructType="user_id long, funnel_depth int",
+        outputMode="Update",
+        timeMode="None",
+    )
