@@ -1,0 +1,47 @@
+"""Small-file compaction + sorted (clustered) rewrite."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_DIR
+from wordcount_spark.sources.compaction import compact_parquet
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    src = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.repartition(64).write.parquet(src)  # simulate streaming-ingest debris
+
+    stats = compact_parquet(spark, src, out, target_file_mb=512)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] <= 4  # tiny table -> ~1 target file
+    # lossless rewrite
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(out)
+    assert a.count() == b.count()
+    assert sorted(a.collect()) == sorted(b.collect())
+
+
+def test_clustered_rewrite_sorts_within_files(spark, tmp_path):
+    src = str(tmp_path / "unsorted")
+    out = str(tmp_path / "clustered")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.repartition(8).write.parquet(src)
+
+    compact_parquet(spark, src, out, target_file_mb=0.01, cluster_by=["doc_id"])
+    got = spark.read.parquet(out).select(
+        "doc_id", F.col("_metadata.file_path").alias("f")
+    )
+    # within every output file, doc_id must be contiguous AND sorted:
+    # file ranges must not overlap (range partitioning) ...
+    ranges = (
+        got.groupBy("f")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in ranges)
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:])), "file key ranges overlap"
+    # ... so a point/range predicate on doc_id can skip every other file
+    assert len(spans) >= 2

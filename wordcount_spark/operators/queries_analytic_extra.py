@@ -148,3 +148,68 @@ def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(r"[0-9]+")).alias("n_numbers"),
         F.col("text").rlike(r"[.!?]$").cast("int").alias("ends_sentence"),
     ).orderBy("doc_id")
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "profile_lineitem",
+    """
+    SELECT 'l_discount' AS column_name,
+           count(*) - count(l_discount) AS n_nulls,
+           count(DISTINCT l_discount) AS n_distinct,
+           CAST(min(l_discount) AS DOUBLE) AS min_val,
+           CAST(max(l_discount) AS DOUBLE) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*) - count(l_extendedprice),
+           count(DISTINCT l_extendedprice),
+           CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', count(*) - count(l_quantity), count(DISTINCT l_quantity),
+           CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', count(*) - count(l_tax), count(DISTINCT l_tax),
+           CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE)
+    FROM lineitem
+    ORDER BY column_name
+    """,
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling — per-column null count, exact NDV, min/max — the
+    stats a catalog feeds the optimizer (and a dirty-data triage step for
+    ingest pipelines).
+
+    One pass over the fact table: unpivot to (column, value) rows, then
+    TWO-level aggregation — (column, value) partial counts first, column
+    rollup second. The naive per-column count(DISTINCT)s would either scan
+    the table once per column (the oracle's UNION ALL does exactly that —
+    correctness only) or plan one Expand copy per distinct agg; this plans
+    a single scan with zero Expand and map-side partials throughout.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    stack_expr = "stack({n}, {args}) AS (column_name, val)".format(
+        n=len(_PROFILE_COLS),
+        args=", ".join(
+            f"'{c}', CAST({c} AS DOUBLE)" for c in _PROFILE_COLS
+        ),
+    )
+    pairs = li.selectExpr(stack_expr)
+    per_value = pairs.groupBy("column_name", "val").agg(
+        F.count("*").alias("c")
+    )
+    return (
+        per_value.groupBy("column_name")
+        .agg(
+            F.sum(F.when(F.col("val").isNull(), F.col("c")).otherwise(0)).alias(
+                "n_nulls"
+            ),
+            F.count(F.when(F.col("val").isNotNull(), 1)).alias("n_distinct"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+        .orderBy("column_name")
+    )
