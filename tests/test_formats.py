@@ -55,3 +55,22 @@ def test_connector_stubs_fail_clearly(spark):
     with pytest.raises(NotImplementedError, match="JDBC-reachable"):
         read_jdbc(spark, "jdbc:postgresql://x/y", "t")
     assert delta_available(spark) is False  # no jars in this container
+
+
+def test_json_quarantine_splits_bad_records(spark, tmp_path):
+    from wordcount_spark.sources.formats import read_json_quarantine
+
+    p = tmp_path / "dirty.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "{broken json\n"
+        '{"id": 2, "v": "fine"}\n'
+        '{"id": "not-an-int", "v": "type-clash"}\n'
+        '{"id": 3, "v": "good"}\n'
+    )
+    good, bad = read_json_quarantine(spark, str(p), "id bigint, v string")
+    assert sorted(r.id for r in good.collect()) == [1, 2, 3]
+    quarantined = [r.raw for r in bad.collect()]
+    assert len(quarantined) == 2
+    assert any("broken" in q for q in quarantined)
+    assert any("not-an-int" in q for q in quarantined)

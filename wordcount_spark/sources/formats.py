@@ -11,6 +11,7 @@ error instead of failing deep inside the JVM.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_table(df: DataFrame, path: str, fmt: str = "parquet", **options) -> None:
@@ -64,3 +65,31 @@ def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame
         ".option('partitionColumn', ...).option('numPartitions', ...) for "
         "parallel range reads"
     )
+
+
+def read_json_quarantine(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """Dirty-ingest pattern: parse JSONL permissively, split clean rows from
+    a quarantine frame holding the raw text of every malformed record.
+
+    At corpus scale a single bad line must neither kill the job (ANSI/
+    FAILFAST) nor silently vanish (DROPMALFORMED): the quarantine frame is
+    written alongside the table for replay after the producer is fixed.
+    Returns (good, quarantined_raw).
+    """
+    raw = (
+        spark.read.schema(f"{schema}, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    # Spark requires caching/materializing before filtering on the corrupt
+    # column alone (the parser prunes otherwise); a checkpoint-free way is
+    # referencing data columns in the same select.
+    raw = raw.cache()
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw")
+    )
+    return good, bad
