@@ -21,7 +21,7 @@ def corpus(tmp_path):
 def test_cli_stdout_format(spark, corpus, capsys):
     assert main(corpus, spark=spark) == 0
     out = capsys.readouterr().out.splitlines()
-    assert out[0] == f"Filename: {corpus[0]}"
+    assert out[0] == f"Filename: {corpus[0]}, total words: 10"
     # global aggregation across both files, sorted, 0-based rank
     assert out[1:] == [
         "[0] dog: 1",

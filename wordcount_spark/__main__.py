@@ -66,6 +66,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
     t_count = time.monotonic()
 
+    total_words = counts.agg(F.sum("cnt").alias("t")).collect()[0].t or 0
     header_file = args.files[0]
     if args.out:
         ranked = indexed.toDF(
@@ -81,7 +82,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             )
         write_reference_output(ranked, args.out, header_file, unique_line=True)
     else:
-        print(f"Filename: {header_file}")
+        # header format = reference's stdout sink: argv[1] even though the
+        # counts cover every file (omp.cpp:220 — misleading-by-design parity)
+        print(f"Filename: {header_file}, total words: {total_words}")
         for row in indexed.toLocalIterator():
             if group:
                 i, src, word, cnt = row
