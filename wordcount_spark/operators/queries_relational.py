@@ -1098,3 +1098,32 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
         F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "set_union_by_name",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority, NULL AS o_orderstatus
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority, o_orderstatus
+    FROM orders WHERE o_orderkey % 2 = 1
+    ORDER BY o_orderkey
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two feeds of the same table with different
+    column subsets (an old and a new producer version) merged by NAME with
+    missing columns null-filled — ``unionByName(allowMissingColumns=True)``.
+    Positional UNION would mis-bind columns or reject outright; at ingest
+    scale this is how a pipeline absorbs a producer's rolling upgrade."""
+    o = _t(spark, sf_dir, "orders")
+    v_old = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v_new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    return v_old.unionByName(v_new, allowMissingColumns=True).orderBy(
+        "o_orderkey"
+    )
