@@ -29,7 +29,7 @@ SHUFFLE_BUDGET = {
     "text_quality_score": 1,  # map-only + output sort — the guarantee
     "similarity_topk_bruteforce": 0,  # broadcast + TakeOrdered: NO shuffle
     "similarity_multiquery_topk": 3,  # prune scan + rescore window
-    "pipeline_curation": 12,  # 4-stage composite
+    "pipeline_curation": 10,  # 4-stage composite (min_by dedup, no join-back)
 }
 
 

@@ -396,12 +396,20 @@ def _register_pipeline_curation():
             & (F.col("n_punct").cast("double") / F.col("n_chars") < 0.1)
             & (F.col("n_stop").cast("double") / F.col("n_tokens") > 0.05)
         ).select("doc_id", "lang", "text", "n_tokens")
-        keepers = (
-            kept.groupBy(F.md5("text"))
-            .agg(F.min("doc_id").alias("doc_id"))
-            .select("doc_id")
+        # keeper = min-doc_id row per content hash, carried THROUGH the
+        # aggregation with min_by — one exchange, no join-back (the
+        # groupBy + semi-join formulation costs two more shuffles of the
+        # corpus; doc_ids are unique so min_by is deterministic)
+        k = (
+            kept.groupBy(F.md5("text").alias("content_hash"))
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.min_by(
+                    F.struct("lang", "text", "n_tokens"), "doc_id"
+                ).alias("r"),
+            )
+            .select("doc_id", "r.lang", "r.text", "r.n_tokens")
         )
-        k = kept.join(keepers, "doc_id")
         sigs = minhash_signatures(doc_shingles(k), num_hashes=32, hash_mode="md5")
         pairs = lsh_candidate_pairs(sigs, bands=8, rows=4, hash_mode="md5")
         dupes = pairs.select(F.col("idb").alias("doc_id")).distinct()
