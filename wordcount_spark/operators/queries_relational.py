@@ -1127,3 +1127,40 @@ def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v_old.unionByName(v_new, allowMissingColumns=True).orderBy(
         "o_orderkey"
     )
+
+
+@register(
+    "entity_match_blocked",
+    """
+    SELECT c.c_custkey, s.s_suppkey,
+           levenshtein(c.c_name, s.s_name) AS edit_dist
+    FROM customer c JOIN supplier s
+      ON substr(c.c_name, length(c.c_name) - 1, 2)
+         = substr(s.s_name, length(s.s_name) - 1, 2)
+    WHERE levenshtein(c.c_name, s.s_name) <= 5
+    ORDER BY c_custkey, s_suppkey
+    """,
+)
+def entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: fuzzy name matching with edit distance, blocked
+    so the n² cross product never materializes — candidates must share a
+    blocking key (last two name characters; in production: phonetic key,
+    sorted-neighborhood window, or LSH over name shingles). The join
+    shuffles on the block key only; levenshtein runs per candidate pair,
+    JVM-side. Same skeleton as the dedup LSH: block → score → threshold."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", -2, 2).alias("blk")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.substring("s_name", -2, 2).alias("blk")
+    )
+    return (
+        c.join(s, "blk")
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.levenshtein("c_name", "s_name").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 5)
+        .orderBy("c_custkey", "s_suppkey")
+    )
