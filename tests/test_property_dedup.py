@@ -15,6 +15,8 @@ import pyspark.sql.functions as F
 from wordcount_spark.operators.dedup import (
     _P,
     _affine_params,
+    doc_shingle_hashes,
+    minhash_signatures_from_hashes,
     shingle_array,
 )
 
@@ -65,3 +67,69 @@ def test_affine_fold_is_elementwise_min(spark, raw_hashes):
     )
     got = df.select(sig.alias("sig")).collect()[0].sig
     assert got == expect
+
+
+def _token_hashes(spark, tokens: set[str]) -> dict[str, int]:
+    """Ground-truth xxhash64-mod-P per token, obtained from Spark itself —
+    the polynomial-combine model below must only be trusted for the
+    *combination* algebra, not for reimplementing xxhash64 in Python."""
+    if not tokens:
+        return {}
+    df = spark.createDataFrame([(t,) for t in tokens], ["t"])
+    rows = df.select(
+        "t", ((F.xxhash64("t") % _P + _P) % _P).alias("h")
+    ).collect()
+    return {r.t: r.h for r in rows}
+
+
+def model_shingle_hashes(text: str, th: dict[str, int], n: int = 3) -> set[int]:
+    toks = [t for t in re.split(r"\s+", text.lower()) if t]
+    out = set()
+    for i in range(len(toks) - n + 1):
+        acc = th[toks[i]]
+        for k in range(1, n):
+            acc = (acc * 8387 + th[toks[i + k]]) % _P
+        out.add(acc)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(text_st, min_size=1, max_size=20))
+def test_doc_shingle_hashes_matches_polynomial_model(spark, texts):
+    """The zip-with-shifted-slices rolling combine must equal the naive
+    per-window polynomial on Spark's own token hashes — catches slice
+    off-by-ones (short docs, width-n boundary) and mod-sign mistakes."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got: dict[int, set[int]] = {i: set() for i in range(len(texts))}
+    for r in doc_shingle_hashes(df).collect():
+        got[r.id].add(r.x)
+
+    all_tokens = {
+        t for txt in texts for t in re.split(r"\s+", txt.lower()) if t
+    }
+    th = _token_hashes(spark, all_tokens)
+    for i, txt in enumerate(texts):
+        assert got[i] == model_shingle_hashes(txt, th), f"text={txt!r}"
+
+
+def test_fast_signatures_equal_for_duplicate_docs(spark):
+    """End-to-end sanity for the no-string-materialization path: exact
+    duplicates hash to identical signatures, distinct docs don't, and
+    every signature slot stays inside [0, P)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "completely different content with other words here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {
+        r.id: list(r.signature)
+        for r in minhash_signatures_from_hashes(
+            doc_shingle_hashes(df), num_hashes=16
+        ).collect()
+    }
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    assert all(0 <= v < _P for s in sigs.values() for v in s)
