@@ -359,6 +359,77 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_stratified_hash",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100
+          < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+    ORDER BY doc_id
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling — the reproducible way to
+    rebalance a web-scale corpus (e.g. cap the dominant language at 10%
+    while keeping 50% of the tail). Bucket = md5(doc_id) mod 100, so
+    membership is a pure function of the row: re-runs, retries, and other
+    engines (the DuckDB oracle) select the SAME rows — unlike
+    `df.sample`, whose RNG stream depends on partitioning. At 100 TB this
+    is a narrow per-row filter (no shuffle, no state); the md5 cost is
+    dwarfed by the scan, and the filter prunes before any downstream
+    join/agg. 28-bit hex slice keeps the value positive (no sign
+    fold-over under either engine's BIGINT)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10
+    ).cast("long") % 100
+    rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(50))
+    return docs.where(bucket < rate).select("doc_id", "lang").orderBy("doc_id")
+
+
+@register(
+    "lateral_token_positions",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id,
+             unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos
+      FROM t
+    )
+    SELECT pos, tok, count(*) AS n_docs
+    FROM e WHERE pos <= 3
+    GROUP BY pos, tok HAVING count(*) >= 5
+    ORDER BY pos, n_docs DESC, tok
+    """,
+)
+def lateral_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional token frequencies (lateral explode WITH ORDINALITY):
+    which tokens open documents? posexplode keeps the array index the
+    engine already has — no window/rank pass to reconstruct position.
+    The `pos <= 3` predicate lands BEFORE the aggregation, so the explode
+    feeds at most 3 rows per document into the shuffle regardless of
+    document length — at 100 TB the agg input is ~3 rows/doc, not
+    ~tokens/doc. 1-based pos matches DuckDB's generate_subscripts."""
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select(
+        "doc_id", F.posexplode(_toks()).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    return (
+        e.where(F.col("pos") <= 3)
+        .groupBy("pos", "tok")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= 5)
+        .orderBy("pos", F.desc("n_docs"), "tok")
+    )
+
+
 @register("sample_fraction")  # rows-only: RNG streams are engine-specific
 def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample (deterministic per seed+partitioning in
