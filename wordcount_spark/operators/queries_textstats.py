@@ -568,3 +568,137 @@ def text_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "bigram")
         .limit(50)
     )
+
+
+@register(
+    "text_repetition_filter",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_filter({_TOKS_SQL}, x -> x <> '') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             greatest(len(toks) - 1, 0) AS n_bigrams,
+             len(list_distinct(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1]))) AS n_distinct
+      FROM t
+    ),
+    tp AS (
+      SELECT doc_id, max(cnt) AS top_cnt
+      FROM (SELECT doc_id, tok, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+            GROUP BY doc_id, tok)
+      GROUP BY doc_id
+    )
+    SELECT bg.doc_id, bg.n_tokens,
+           CASE WHEN n_bigrams > 0
+                THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams
+                ELSE 0.0 END AS dup_bigram_frac,
+           CAST(top_cnt AS DOUBLE) / bg.n_tokens AS top_token_frac,
+           CASE WHEN (CASE WHEN n_bigrams > 0
+                           THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams
+                           ELSE 0.0 END) < 0.05
+                 AND CAST(top_cnt AS DOUBLE) / bg.n_tokens < 0.15
+                THEN 1 ELSE 0 END AS keep
+    FROM bg JOIN tp USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition filter (Rae et al. 2021):
+    duplicate-bigram fraction + most-common-token fraction -> keep flag.
+
+    Scale shape: the bigram stats are pure per-row array ops (narrow, no
+    shuffle — zip-with-shifted-slices, same trick as text_bigram_top); the
+    top-token count goes explode -> (doc_id, tok) partial-agg -> (doc_id)
+    max, so shuffle keys are uniformly distributed doc-grained pairs, never
+    corpus-grained token keys. The final join is doc_id-keyed on two frames
+    already hash-partitioned by doc_id from their aggs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n = F.size(toks)
+    win = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, win),
+        F.slice(toks, 2, win),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        win.alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct"),
+    )
+    tp = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"))
+    )
+    dup_frac = F.when(
+        F.col("n_bigrams") > 0,
+        F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_bigrams"),
+    ).otherwise(F.lit(0.0))
+    top_frac = F.col("top_cnt").cast("double") / F.col("n_tokens")
+    return (
+        bg.join(tp, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            dup_frac.alias("dup_bigram_frac"),
+            top_frac.alias("top_token_frac"),
+            F.when((dup_frac < 0.05) & (top_frac < 0.15), 1)
+            .otherwise(0)
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_charset_stats",
+    """
+    SELECT doc_id, lang,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+           length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+           length(text) - length(regexp_replace(text, '[^[:ascii:]]', '', 'g')) AS n_nonascii,
+           CAST(length(text) - length(regexp_replace(text, '[^[:ascii:]]', '', 'g')) AS DOUBLE)
+             / length(text) AS nonascii_frac,
+           CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^[:ascii:]]', '', 'g')) AS DOUBLE)
+                     / length(text) < 0.5
+                THEN 1 ELSE 0 END AS ascii_dominant
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_charset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style character-class profile: digit / uppercase / non-ASCII
+    counts per document via length-delta of class-scoped regexp_replace
+    (counts code points identically in Spark and DuckDB — both engines'
+    length() is code-point based on UTF-8 strings).
+
+    Scale shape: fully narrow — scan -> project, zero shuffles except the
+    output sort; all regexes run inside whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def class_count(pat: str) -> F.Column:
+        return F.length("text") - F.length(F.regexp_replace("text", pat, ""))
+
+    n_nonascii = class_count(r"[^\x00-\x7F]")
+    frac = n_nonascii.cast("double") / F.length("text")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.length("text").alias("n_chars"),
+            class_count(r"[0-9]").alias("n_digit"),
+            class_count(r"[A-Z]").alias("n_upper"),
+            n_nonascii.alias("n_nonascii"),
+            frac.alias("nonascii_frac"),
+            F.when(frac < 0.5, 1).otherwise(0).alias("ascii_dominant"),
+        )
+        .orderBy("doc_id")
+    )
