@@ -16,6 +16,7 @@ from wordcount_spark.operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    shingle_array,
     simhash,
 )
 from wordcount_spark.registry import register
@@ -432,3 +433,69 @@ def _register_pipeline_curation():
 
 
 _register_pipeline_curation()
+
+
+@register(
+    "text_benchmark_contamination",
+    """
+    WITH sh AS (
+      SELECT doc_id AS id, source, unnest(list_distinct(
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                                        i -> array_to_string(toks[i:i+2], ' '))
+                    ELSE [] END)) AS shingle
+      FROM (SELECT doc_id, source,
+                   list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+                               x -> x <> '') AS toks
+            FROM documents)
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+    doc AS (SELECT id, shingle FROM sh WHERE source <> 'src0')
+    SELECT id AS doc_id,
+           count(*) AS n_shingles,
+           count(b.shingle) AS n_overlap,
+           CAST(count(b.shingle) AS DOUBLE) / count(*) AS overlap_frac,
+           CASE WHEN CAST(count(b.shingle) AS DOUBLE) / count(*) >= 0.5
+                THEN 1 ELSE 0 END AS contaminated
+    FROM doc LEFT JOIN bench b USING (shingle)
+    GROUP BY id ORDER BY doc_id
+    """,
+)
+def text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C / Dolma style): flag
+    training documents whose distinct 3-gram shingles overlap a held-out
+    benchmark partition (here: source='src0') above a threshold.
+
+    Scale shape: one shuffle keyed on shingle (the benchmark side is
+    DISTINCT-reduced first, so the join input is the small shingle
+    vocabulary, not benchmark docs x shingles), then one doc_id-keyed agg.
+    Hot stop-shingles skew the shingle join at corpus scale — AQE skew
+    split handles it, or pre-drop shingles with document frequency above a
+    cap as dedup.jaccard_pairs documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        "source",
+        F.explode(shingle_array("text")).alias("shingle"),
+    )
+    bench = (
+        sh.where(F.col("source") == "src0").select("shingle").distinct()
+    )
+    doc = sh.where(F.col("source") != "src0").select("id", "shingle")
+    frac = F.col("n_overlap").cast("double") / F.col("n_shingles")
+    return (
+        doc.join(bench.withColumn("hit", F.lit(1)), "shingle", "left")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("n_overlap"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            frac.alias("overlap_frac"),
+            F.when(frac >= 0.5, 1).otherwise(0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

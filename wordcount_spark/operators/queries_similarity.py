@@ -342,3 +342,55 @@ def similarity_multiquery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .orderBy("qid", "rnk")
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS absmax
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id,
+             CASE WHEN absmax > 0 THEN 127.0 / absmax ELSE 0.0 END AS scale,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE)
+                         * (CASE WHEN absmax > 0 THEN 127.0 / absmax ELSE 0.0 END))
+                    AS INTEGER)) AS qv
+      FROM s
+    )
+    SELECT vec_id, scale,
+           list_sum(qv) AS q_sum,
+           list_min(qv) AS q_min,
+           list_max(qv) AS q_max,
+           len(list_filter(qv, v -> v <> 0)) AS q_nnz
+    FROM q ORDER BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (absmax scaling): the
+    standard 4x storage/bandwidth reduction applied to embedding columns
+    before they're shuffled or sunk at 100 TB. Emits the per-vector scale
+    plus integer checksums of the quantized array (sum/min/max/nnz) so the
+    oracle compares exact ints, not serialized arrays.
+
+    Scale shape: fully narrow (scan -> project, per-row array ops inside
+    codegen); nothing shuffles except the output sort. Quantized products
+    are double-precision with round-half-away-from-zero in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    scale = F.when(absmax > 0, F.lit(127.0) / absmax).otherwise(F.lit(0.0))
+    qv = F.transform("embedding", lambda x: F.round(x.cast("double") * scale).cast("int"))
+    return (
+        emb.select(
+            "vec_id",
+            scale.alias("scale"),
+            F.aggregate(qv, F.lit(0).cast("long"), lambda acc, v: acc + v).alias("q_sum"),
+            F.array_min(qv).alias("q_min"),
+            F.array_max(qv).alias("q_max"),
+            F.size(F.filter(qv, lambda v: v != 0)).alias("q_nnz"),
+        )
+        .orderBy("vec_id")
+    )
