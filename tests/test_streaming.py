@@ -58,12 +58,18 @@ def test_streaming_user_state(spark, sf_dir):
     final = {}
     for r in got.collect():
         final[r["user_id"]] = (r["n_events"], r["last_seen_us"])
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")  # nanosAsLong already set
+    from wordcount_spark.sources.readers import load_table
     from pyspark.sql import functions as F
 
+    ev = load_table(spark, sf_dir, "events")
+    # last_seen_us is µs since epoch of the (timezone-naive) event time —
+    # cast through LTZ under the UTC session timezone to extract micros
     want = (
         ev.groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.expr("max(ts) div 1000").alias("last_us"))
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("unix_micros(cast(max(ts) as timestamp))").alias("last_us"),
+        )
         .collect()
     )
     for r in want:

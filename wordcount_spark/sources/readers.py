@@ -29,18 +29,28 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes filters/projections into it.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer, which Spark
-    rejects by default (PARQUET_TYPE_ILLEGAL). We read it as a long
-    (legacy nanosAsLong conf) and convert ns → µs with INTEGER division
+    ``events.ts`` may be TIMESTAMP(NANOS) in the parquet footer, which Spark
+    rejects by default (PARQUET_TYPE_ILLEGAL). In that case we read it as a
+    long (legacy nanosAsLong conf) and convert ns → µs with INTEGER division
     (a double round-trip would lose precision: ns-epoch ≈ 1.7e18 > 2^53),
-    matching DuckDB's own ns→µs truncation.
+    matching DuckDB's own ns→µs truncation. When the footer already carries
+    µs/ms precision Spark reads it natively (as TIMESTAMP_NTZ) and we cast
+    NTZ → TIMESTAMP: under the pinned-UTC session timezone the cast is a
+    pure re-tag of the same micros, and LTZ is what event-time watermarks
+    require. Either path yields the identical TIMESTAMP column.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -40,7 +40,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events stream with the ns→µs ts conversion (same as the batch loader)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = _stream_table(spark, sf_dir, "events")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        # watermarks require TIMESTAMP (LTZ); under the pinned-UTC session
+        # timezone the cast re-tags the same micros
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
