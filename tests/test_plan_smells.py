@@ -16,6 +16,7 @@ BNLJ_OK = {
     "similarity_topk_bruteforce",
     "similarity_ivf_topk",
     "q22_sales_opportunity",
+    "q11_important_stock",
 }
 
 # streaming / iterative queries execute eagerly inside the callable —

@@ -735,3 +735,237 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "suppkey")
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY l_partkey, l_suppkey)
+    SELECT p_partkey, p_name, s_name, n_name, unit_cost
+    FROM costs JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_type = 'SMALL' AND p_size < 15
+      AND unit_cost = (SELECT min(c2.unit_cost) FROM costs c2
+                       WHERE c2.l_partkey = costs.l_partkey)
+    ORDER BY p_partkey, s_name
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp in this schema, so observed min unit
+    price from lineitem stands in for ps_supplycost): for each small part,
+    the EUROPE supplier(s) selling it cheapest. The correlated min
+    decorrelates to an aggregate-of-an-aggregate joined back — both the
+    (part, supplier) cost frame and its per-part min are part-cardinality,
+    so everything after the one lineitem agg broadcasts. The unit-cost
+    double division is computed once and reused on both compare sides;
+    identical operands give identical IEEE results in Spark and DuckDB."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    euro_supp = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    costs = (
+        li.join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_name", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    min_per_part = costs.groupBy(F.col("l_partkey").alias("min_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        costs.join(
+            F.broadcast(min_per_part),
+            (F.col("l_partkey") == F.col("min_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(
+            F.broadcast(p.filter((F.col("p_type") == "SMALL") & (F.col("p_size") < 15))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (no l_commitdate/l_receiptdate; "late" = shipped more
+    than 60 days after the order date): priority histogram of one quarter's
+    orders having at least one late line. EXISTS plans as a left-semi hash
+    join on l_orderkey with the date comparison as the residual condition —
+    the quarter filter pushes into the orders scan first, so the semi join
+    probes with ~1/24th of orders."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    quarter = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    return (
+        quarter.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q11_important_stock",
+    """
+    SELECT l_partkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS val
+    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7')
+    GROUP BY l_partkey
+    HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) >
+      (SELECT 0.001 * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE n_name IN ('NATION_3', 'NATION_7'))
+    ORDER BY l_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (lineitem revenue stands in for partsupp stock
+    value): parts whose two-nation revenue exceeds a fraction of the total.
+    The global threshold is a one-row aggregate of the SAME per-part frame
+    (computed once, reused for both sides), cross-joined as a broadcast —
+    no second scan of lineitem, unlike the literal SQL. Exact decimal sums;
+    the threshold comparison happens in double on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    two_nation_supp = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(F.broadcast(two_nation_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_revenue()).alias("val"))
+    )
+    total = per_part.agg((F.lit(0.001) * F.sum("val").cast("double")).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.col("threshold"))
+        .select("l_partkey", "val")
+        .orderBy("l_partkey")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (o_orderpriority filter stands in for the o_comment NOT
+    LIKE): distribution of per-customer order counts including zero-order
+    customers — the LEFT OUTER with the predicate in the JOIN condition (not
+    WHERE) is the point of the query. First agg is customer-grain (shuffle
+    on c_custkey); second agg input is one row per customer and collapses
+    to ~tens of distinct counts via map-side partials."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3' AND s_suppkey IN (
+      SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey HAVING sum(l_quantity) > 300)
+    ORDER BY s_name
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (shipped quantity stands in for ps_availqty): one
+    nation's suppliers who moved > 300 units of PROMO parts in 1997. The
+    inner GROUP BY + HAVING produces a tiny qualifying-supplier set that
+    broadcasts as a left-semi onto the (already broadcast-joined) supplier×
+    nation frame; the date + p_type filters push into the lineitem/part
+    scans."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    promo_supp = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(p.filter(F.col("p_type") == "PROMO").select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("promo_qty"))
+        .filter(F.col("promo_qty") > 300)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_3")
+        .join(F.broadcast(promo_supp), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
