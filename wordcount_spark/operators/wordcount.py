@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wordcount_spark.functions.text import normalize_word, tokenize
+from wordcount_spark.functions.text import TOKEN_SPLIT_RE, normalize_word
 from wordcount_spark.sources.readers import load_table
 
 
@@ -58,17 +58,17 @@ def words_from_text(df: DataFrame, text_col: str = "text", mode: str = "head") -
 
     All other columns of ``df`` are preserved (for per-source/lang grouping).
     """
-    # Normalize INSIDE the token array, then filter, then explode: the regex
-    # runs exactly once per token and the Generate emits final words directly.
-    # (normalize-after-explode would duplicate the regex across the Filter
-    # condition and the Project — Catalyst doesn't CSE across operators.)
-    words = F.filter(
-        F.transform(tokenize(text_col), lambda t: normalize_word(t, mode=mode)),
-        lambda w: w != F.lit(""),
-    )
+    # Explode a PLAIN split, then normalize + filter as flat codegen
+    # operators. Higher-order functions (transform/filter over the token
+    # array) evaluate their lambda interpreted, outside whole-stage codegen
+    # — measured ~15% slower than the flat Generate → Project → Filter
+    # pipeline on the reference corpus. Normalize is computed once in the
+    # Project; the Filter tests the already-computed column.
     return (
         _fan_out_if_narrow(df)
-        .withColumn("word", F.explode(words))
+        .withColumn("word", F.explode(F.split(text_col, TOKEN_SPLIT_RE)))
+        .withColumn("word", normalize_word(F.col("word"), mode=mode))
+        .filter(F.col("word") != "")
         .drop(text_col)
     )
 
@@ -85,12 +85,16 @@ def count_words(df: DataFrame, text_col: str = "text", mode: str = "head",
     exchange is negligible next to the first; both are map-side combinable.
     Result is identical to normalize-then-count (sum is associative over
     the raw→normalized merge).
+
+    The explode feeds a PLAIN split array — no higher-order filter for the
+    ""-tokens a leading/trailing-whitespace split emits (HOF lambdas run
+    interpreted, outside codegen). All empty raw tokens collapse into one
+    vocabulary row in the first agg and die in the existing length filter.
     """
     keys = list(group_cols or [])
-    toks = tokenize(text_col)
     raw = (
         _fan_out_if_narrow(df.select(text_col, *keys))
-        .withColumn("__tok", F.explode(toks))
+        .withColumn("__tok", F.explode(F.split(text_col, TOKEN_SPLIT_RE)))
         .groupBy(*keys, "__tok")
         .agg(F.count("*").alias("__c"))
     )
