@@ -17,6 +17,7 @@ BNLJ_OK = {
     "similarity_ivf_topk",
     "q22_sales_opportunity",
     "q11_important_stock",
+    "text_unigram_logprob",
 }
 
 # streaming / iterative queries execute eagerly inside the callable —

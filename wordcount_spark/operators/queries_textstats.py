@@ -702,3 +702,58 @@ def text_charset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS tok
+      FROM documents
+    ),
+    model AS (SELECT tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY tok),
+    total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM model)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(ln((SELECT n FROM total)) - avg(ln(CAST(c AS DOUBLE))), 4)
+             AS avg_neg_logprob
+    FROM toks JOIN model USING (tok)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality signal: each document's mean negative log
+    probability under the corpus's own unigram MLE model (the cheap stand-in
+    for a KenLM filter in an LLM curation pipeline — high score = tokens the
+    corpus rarely uses).
+
+    avg(-ln(c_w/N)) = ln(N) - avg(ln(c_w)), so the model join carries only
+    the raw count: one vocab-sized aggregate (Zipfian → small; broadcast),
+    one map-side model join back onto the token stream (no token shuffle),
+    one doc-keyed agg. At 100 TB the model frame is ~vocab × 16 B — still
+    broadcastable for natural language; if not, it becomes the one extra
+    shuffle. round(4) absorbs libm ln() last-ulp + float-sum-order noise
+    between engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    model = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = model.agg(F.log(F.sum("c").cast("double")).alias("ln_n"))
+    return (
+        toks.join(F.broadcast(model), "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id", "ln_n")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg(F.log(F.col("c").cast("double"))).alias("avg_ln_c"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("ln_n") - F.col("avg_ln_c"), 4).alias("avg_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
