@@ -757,3 +757,45 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "split_train_holdout_groups",
+    """
+    SELECT CASE WHEN b < 60 THEN 'train' WHEN b < 80 THEN 'valid' ELSE 'test' END
+             AS split,
+           count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources
+    FROM (SELECT source,
+                 ('0x' || substr(md5(source), 1, 7))::BIGINT % 100 AS b
+          FROM documents) g
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def split_train_holdout_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/valid/test split: the split is a pure function of
+    the GROUP key (source), never the row, so every document from one
+    source lands in the same split — near-duplicates within a source can't
+    straddle the train/eval boundary (the standard grouped-split rule for
+    training corpora). Deterministic md5 bucketing as in
+    `sample_stratified_hash`: re-runs, retries, and the DuckDB oracle
+    assign identical splits. At 100 TB this is a narrow per-row projection
+    (no shuffle to assign splits; the audit agg here shuffles only
+    source-cardinality rows after map-side partials)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("source")), 1, 7), 16, 10
+    ).cast("long") % 100
+    split = (
+        F.when(bucket < 60, "train").when(bucket < 80, "valid").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "source")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("split")
+    )
