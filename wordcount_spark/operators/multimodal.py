@@ -113,3 +113,41 @@ def sample_frames(binary_df: DataFrame, frame_stride: int = 4096, max_frames: in
         frames,
         schema="doc_id long, frame_idx int, byte_offset long, frame_bytes long",
     )
+
+
+def resize_media(binary_df: DataFrame, target: int = 224) -> DataFrame:
+    """Aspect-preserving resize-to-fit plan for decoded media.
+
+    Decode is stubbed (``fake_dims``), the resize geometry + Arrow batch
+    shape are real: per batch, vectorized numpy computes the scale to fit
+    a ``target``×``target`` box and the resulting dimensions. Swapping in
+    a real decoder/resampler changes only the two marked lines — the
+    Spark-side contract (binary in, typed row out, no driver round-trip)
+    stays."""
+    import numpy as np
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len).to_numpy()
+            w = 64 + (n % 960)            # stub decode: fake_dims
+            h = 64 + ((n * 7) % 704)      # stub decode: fake_dims
+            scale = np.minimum(target / w, target / h)
+            new_w = np.maximum(1, np.floor(w * scale)).astype("int64")
+            new_h = np.maximum(1, np.floor(h * scale)).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "width": w,
+                    "height": h,
+                    "new_width": new_w,
+                    "new_height": new_h,
+                    "scale": scale,
+                }
+            )
+
+    return binary_df.mapInPandas(
+        resize,
+        schema="doc_id long, mime string, width long, height long, "
+        "new_width long, new_height long, scale double",
+    )

@@ -117,3 +117,36 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled frame of each 'video' payload)."""
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(with_binary_payload(docs)).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "multimodal_resize",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                  WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS mime,
+             64 + (octet_length(encode(text)) % 960) AS width,
+             64 + ((octet_length(encode(text)) * 7) % 704) AS height
+      FROM documents),
+    s AS (SELECT *, least(224.0 / width, 224.0 / height) AS scale FROM m)
+    SELECT doc_id, mime, width, height,
+           greatest(1, CAST(floor(width * scale) AS BIGINT)) AS new_width,
+           greatest(1, CAST(floor(height * scale) AS BIGINT)) AS new_height,
+           scale
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-to-fit (224-box, aspect-preserving) over binary payloads via
+    Arrow-batched mapInPandas — the vision-pipeline preprocessing shape.
+    Decode is the deterministic stub (no codecs in this container,
+    `multimodal.py` module docstring); geometry math is vectorized numpy
+    inside the batch iterator and mirrored exactly by the SQL oracle
+    (identical IEEE double ops on both engines)."""
+    from wordcount_spark.operators.multimodal import resize_media, with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media(with_binary_payload(docs)).orderBy("doc_id")
