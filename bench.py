@@ -65,17 +65,60 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # Apples-to-apples vs the reference's ONE compute-derived number: its
+    # read+map stage ran at ~47.6 MB/s on 4 cores over raw_text_input
+    # (BASELINE.md). Same input, same work (tokenize+normalize+count).
+    corpus = os.environ.get("SPARK_GRAFT_CORPUS", "/root/reference/raw_text_input")
+    if os.path.isdir(corpus):
+        import glob as _glob
+
+        from wordcount_spark.operators.wordcount import count_words
+        from wordcount_spark.sources.readers import load_text_corpus
+
+        paths = sorted(_glob.glob(os.path.join(corpus, "*")))
+        nbytes = sum(os.path.getsize(p) for p in paths)
+        # Micro-benchmark confs (restored after): text is line-splittable,
+        # so size scan splits ~ total/parallelism — the default 128 MB
+        # leaves the 3.3 MB largest file as ONE task that serializes the
+        # normalize stage. AQE off + few reducers: on a sub-second job AQE's
+        # per-stage re-optimization is pure latency and the word vocabulary
+        # needs no 32-way reduce; both stay ON for the sf-scale queries
+        # above, where they earn their keep.
+        saved = {
+            k: spark.conf.get(k)
+            for k in (
+                "spark.sql.files.maxPartitionBytes",
+                "spark.sql.adaptive.enabled",
+                "spark.sql.shuffle.partitions",
+            )
+        }
+        split = min(max(nbytes // max(spark.sparkContext.defaultParallelism, 1),
+                        256 * 1024), 128 * 1024 * 1024)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            wc = count_words(load_text_corpus(spark, paths), "text", mode="head")
+            wc.write.format("noop").mode("overwrite").save()
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.monotonic()
+                wc.write.format("noop").mode("overwrite").save()
+                best = min(best, time.monotonic() - t0)
+            out["reference_corpus_mb_per_sec"] = round(nbytes / 1e6 / best, 2)
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+
+    print(json.dumps(out))
     spark.stop()
 
 
