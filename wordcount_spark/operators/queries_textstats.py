@@ -799,3 +799,75 @@ def split_train_holdout_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "udtf_token_runs",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    e AS (
+      SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+      FROM t),
+    b AS (
+      SELECT doc_id, tok, pos,
+             CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) = tok
+                  THEN 0 ELSE 1 END AS brk
+      FROM e),
+    g AS (
+      SELECT doc_id, tok, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM b),
+    runs AS (
+      SELECT doc_id, any_value(tok) AS run_token,
+             CAST(count(*) AS INT) AS run_len, min(pos) AS start_pos
+      FROM g GROUP BY doc_id, grp)
+    SELECT doc_id, run_token, run_len,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_pos) - 1
+                AS INT) AS run_idx
+    FROM (SELECT * FROM runs WHERE run_len >= 2) q
+    ORDER BY doc_id, run_idx
+    """,
+)
+def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive repeated-token runs (len ≥ 2) per document via a Python
+    UDTF in a SQL LATERAL join — the table-function corner of the UDF/UDAF/
+    UDTF surface (scalar pandas_udf, mapInPandas, applyInPandas[WithState],
+    and transformWithState are covered elsewhere). The UDTF is procedural
+    row-at-a-time Python — the documented SLOW path; the DuckDB oracle is
+    the set-based gaps-and-islands rewrite (lag → break flags → running
+    group ids), which is what you'd deploy at 100 TB if the logic stayed
+    SQL-expressible. Repeated runs are also a real curation signal
+    (boilerplate/stutter detection, cf. text_repetition_filter's
+    doc-level ratios)."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="run_idx int, run_token string, run_len int")
+    class TokenRuns:
+        def eval(self, text: str):
+            toks = [t for t in _re.split(r"\s+", text or "") if t]
+            run_idx = 0
+            i = 0
+            while i < len(toks):
+                j = i
+                while j < len(toks) and toks[j] == toks[i]:
+                    j += 1
+                if j - i >= 2:
+                    yield (run_idx, toks[i], j - i)
+                    run_idx += 1
+                i = j
+
+    spark.udtf.register("token_runs", TokenRuns)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, r.run_token, r.run_len, r.run_idx
+        FROM __udtf_docs d, LATERAL token_runs(d.text) r
+        ORDER BY d.doc_id, r.run_idx
+        """
+    )
