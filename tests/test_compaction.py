@@ -45,3 +45,33 @@ def test_clustered_rewrite_sorts_within_files(spark, tmp_path):
     assert all(a[1] < b[0] for a, b in zip(spans, spans[1:])), "file key ranges overlap"
     # ... so a point/range predicate on doc_id can skip every other file
     assert len(spans) >= 2
+
+
+def test_zorder_rewrite_prunes_on_every_dimension(spark, tmp_path):
+    """Z-order layout: a point filter on EITHER z-dimension must touch a
+    strict subset of output files — lexicographic clustering can only
+    promise that for the leading key."""
+    src = str(tmp_path / "zsrc")
+    out = str(tmp_path / "zordered")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    li.repartition(16).write.parquet(src)
+
+    compact_parquet(
+        spark, src, out, target_file_mb=0.002, zorder_by=["l_partkey", "l_suppkey"]
+    )
+    got = spark.read.parquet(out).select(
+        "l_partkey", "l_suppkey", F.col("_metadata.file_path").alias("f")
+    )
+    total_files = got.select("f").distinct().count()
+    assert total_files >= 4, "need several files to show pruning"
+
+    keys = got.limit(1).collect()[0]
+    for col, val in (("l_partkey", keys.l_partkey), ("l_suppkey", keys.l_suppkey)):
+        touched = (
+            got.filter(F.col(col) == val).select("f").distinct().count()
+        )
+        assert touched < total_files, f"filter on {col} touched every file"
+    # lossless rewrite
+    assert spark.read.parquet(out).count() == li.count()
