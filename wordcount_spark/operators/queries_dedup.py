@@ -499,3 +499,37 @@ def text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_incremental_antijoin",
+    """
+    WITH corpus AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE source <> 'src0'),
+    batch AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE source = 'src0')
+    SELECT b.doc_id
+    FROM batch b LEFT JOIN corpus c ON b.h = c.h
+    WHERE c.h IS NULL
+    ORDER BY b.doc_id
+    """,
+)
+def dedup_incremental_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: which documents of the incoming batch
+    (source='src0' stands in for today's crawl) are NOT already in the
+    corpus — the anti-join every continuously-fed training pipeline runs
+    before appending. Both sides reduce to content hashes before the join,
+    so the shuffle carries 16-byte keys, not documents; at 100 TB the
+    corpus side stays hash-partitioned/bucketed by content hash so only
+    the (small) daily batch moves, and Spark's runtime bloom filter (see
+    tests/test_plans.py) prunes corpus partitions that can't match."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = (
+        docs.filter(F.col("source") != "src0")
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("source") == "src0").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    return batch.join(corpus, "h", "left_anti").select("doc_id").orderBy("doc_id")

@@ -261,3 +261,83 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f.t2").alias("t_click"),
         F.col("f.t3").alias("t_purchase"),
     ).orderBy("user_id")
+
+
+@register(
+    "events_path_mining",
+    """
+    WITH s AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id, day)
+    SELECT path, count(*) AS n_sessions
+    FROM s GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 25
+    """,
+)
+def events_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths: each user-day's ordered event-type sequence
+    collapsed to a 'view>click>…' path, counted across sessions (the
+    product-analytics staple). Ordering inside collect_list is undefined
+    under shuffles, so the sort happens AFTER collection — array_sort over
+    (ts, event_id, event_type) structs, a deterministic total order that
+    also breaks timestamp ties. Per-session rows are user-day grain (one
+    shuffle), the path histogram is tiny; LIMIT with a full tiebreak
+    (n DESC, path) keeps the cutoff engine-stable. At 100 TB the only
+    heavy exchange is the user-day grouping — already the minimum for any
+    sessionization."""
+    ev = load_table(spark, sf_dir, "events")
+    per_session = (
+        ev.select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            F.struct("ts", "event_id", "event_type").alias("e"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.array_sort(F.collect_list("e")).alias("seq"))
+        .select(
+            F.array_join(
+                F.transform("seq", lambda x: x["event_type"]), ">"
+            ).alias("path")
+        )
+    )
+    return (
+        per_session.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(25)
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id),
+    a AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+           count(*) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day, counted
+    on each later active day (growth analytics' standard triangle). Three
+    aggs, all on user/user-day grain — the first two share the user_id
+    partitioning, and the cohort frame (≤ users rows) broadcasts back onto
+    the distinct user-day activity, so the fact table shuffles once. The
+    final matrix is days × offsets — trivially small at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(F.broadcast(first), "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
