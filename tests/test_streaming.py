@@ -185,3 +185,96 @@ def test_streaming_funnel_transform_with_state(spark, sf_dir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+
+def test_streaming_static_join_equals_batch(spark, sf_dir):
+    """Stream-static enrichment join replayed == the same join in batch."""
+    from wordcount_spark.sources.readers import load_table
+    from wordcount_spark.streaming.streams import streaming_enrich_static_join
+    from pyspark.sql import functions as F
+
+    got = run_to_completion(
+        streaming_enrich_static_join(spark, sf_dir), "t_ssj_static", "complete"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    profile = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    want = (
+        ev.join(profile, "user_id")
+        .groupBy(
+            F.datediff(F.col("ts").cast("date"), F.col("first_day")).alias(
+                "user_age_days"
+            )
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    cols = ["user_age_days", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols) and got.count() > 0
+
+
+def test_streaming_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
+    """Checkpointed restart: a stream stopped after batch 1 and restarted
+    over a source directory that gained a second file must process ONLY
+    the new file (offset tracking), and the final counts must equal batch
+    over both files — exactly-once across restarts."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_name = "t_ckpt"
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "part1.parquet")
+
+    batch_schema = spark.read.parquet(str(src)).schema
+
+    def start():
+        stream = (
+            spark.readStream.schema(batch_schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(src))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"))
+        )
+        return (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(out_name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    first = {r["lang"]: r["n"] for r in spark.table(out_name).collect()}
+
+    # second file arrives while the stream is DOWN
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "part2.parquet")
+    q = start()
+    try:
+        q.processAllAvailable()
+        progress = q.recentProgress
+    finally:
+        q.stop()
+    final = {r["lang"]: r["n"] for r in spark.table(out_name).collect()}
+
+    # resumed run read only the NEW file's rows
+    resumed_rows = sum(p["numInputRows"] for p in progress)
+    batch1 = sum(first.values())
+    assert resumed_rows == batch1, (resumed_rows, batch1)
+    # and state carried over: final counts == batch over both files
+    want = {
+        r["lang"]: r["n"]
+        for r in spark.read.parquet(str(src))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == want
+    assert all(final[k] == 2 * v for k, v in first.items())

@@ -240,3 +240,29 @@ def streaming_funnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def streaming_enrich_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched with a BATCH-derived
+    dimension (each user's first-active day) — the canonical "join the
+    stream to the slowly-changing profile table" pattern. The static side
+    is planned per micro-batch and broadcast (no stream state, unlike
+    stream-stream joins), so at 100 TB the stream never shuffles for the
+    enrichment; a profile refresh is just the next micro-batch reading the
+    updated table."""
+    from wordcount_spark.sources.readers import load_table
+
+    profile = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("first_day"))
+    )
+    ev = _events_stream(spark, sf_dir)
+    return (
+        ev.join(F.broadcast(profile), "user_id")
+        .withColumn(
+            "user_age_days", F.datediff(F.col("ts").cast("date"), F.col("first_day"))
+        )
+        .groupBy("user_age_days")
+        .agg(F.count("*").alias("n_events"))
+    )
