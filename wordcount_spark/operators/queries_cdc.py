@@ -1,0 +1,137 @@
+"""CDC / MERGE-semantics queries over the events changelog.
+
+The `operators/cdc.py` primitives (latest-wins upsert, SCD2 apply) are
+exercised here as oracle-checked queries: events is the changelog, a
+mid-month cutoff splits it into "snapshot so far" and "incoming changes".
+At 100 TB the change batch is small relative to the snapshot — the
+anti-join side broadcasts and only the changeset shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wordcount_spark.operators.cdc import merge_upsert_latest, scd2_apply
+from wordcount_spark.registry import register
+from wordcount_spark.sources.readers import load_table
+
+_CUTOFF = "2024-01-16"
+
+
+@register(
+    "cdc_upsert_latest_state",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           value AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def cdc_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins changelog apply: the per-user state snapshot as of a
+    cutoff, merged with the post-cutoff change batch via
+    ``merge_upsert_latest`` (window top-1 dedups multi-version changes,
+    anti-join + union applies them). The oracle is the algebraic identity:
+    snapshot(<cutoff) merged with latest(≥cutoff) ≡ global latest per key —
+    so the whole merge pipeline is differentially checked, not just its
+    output shape. Version order is (ts, event_id): a total order that
+    breaks timestamp ties deterministically."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    cut = F.lit(_CUTOFF).cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    snap = (
+        ev.filter(F.col("ts") < cut)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    changes = ev.filter(F.col("ts") >= cut).withColumn(
+        "__v", F.struct("ts", "event_id")
+    )
+    merged = merge_upsert_latest(
+        snap.withColumn("__v", F.struct("ts", "event_id")),
+        changes,
+        key="user_id",
+        version_col="__v",
+    )
+    return merged.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    ).orderBy("user_id")
+
+
+@register(
+    "cdc_scd2_history",
+    """
+    WITH firsts AS (
+      SELECT user_id, event_type, ts FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+        FROM events) t WHERE rn = 1),
+    lasts AS (
+      SELECT user_id, event_type, ts FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t WHERE rn = 1)
+    SELECT f.user_id, f.event_type, f.ts AS valid_from,
+           CASE WHEN f.event_type <> l.event_type THEN l.ts END AS valid_to
+    FROM firsts f JOIN lasts l USING (user_id)
+    UNION ALL
+    SELECT l.user_id, l.event_type, l.ts AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to
+    FROM firsts f JOIN lasts l USING (user_id)
+    WHERE f.event_type <> l.event_type
+    ORDER BY user_id, valid_from
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 apply: the dimension seeded from each user's FIRST event gets
+    the LATEST event applied as a change batch via ``scd2_apply`` — users
+    whose tracked attribute (event_type) changed have their original row
+    closed (valid_to = change time) and a new open version appended;
+    unchanged users pass through. The oracle replays the same
+    first-vs-last comparison in SQL, checking the close-out/append logic
+    row for row, including the pass-through and NULL-end cases."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    # independent scan for the change side: scd2_apply compares cur vs
+    # changes column-wise, which Spark's ambiguous-self-join check rejects
+    # when both lineages share one scan node
+    ev2 = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_last = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    firsts = (
+        ev.withColumn("__rn", F.row_number().over(w_first))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+        )
+    )
+    lasts = (
+        ev2.withColumn("__rn", F.row_number().over(w_last))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    )
+    hist = scd2_apply(
+        firsts,
+        lasts,
+        key="user_id",
+        compare_cols=["event_type"],
+        ts_col="valid_from",
+        end_col="valid_to",
+    )
+    return hist.orderBy("user_id", "valid_from")

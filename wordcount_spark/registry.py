@@ -40,6 +40,7 @@ def _load_all() -> None:
         "queries_windows",
         "queries_streaming",
         "queries_asof",
+        "queries_cdc",
         "queries_dedup",
         "queries_similarity",
         "queries_textstats",
