@@ -30,6 +30,17 @@ SHUFFLE_BUDGET = {
     "similarity_topk_bruteforce": 0,  # broadcast + TakeOrdered: NO shuffle
     "similarity_multiquery_topk": 3,  # prune scan + rescore window
     "pipeline_curation": 10,  # 4-stage composite (min_by dedup, no join-back)
+    "dedup_incremental_antijoin": 3,  # hash both sides + output sort
+    "events_path_mining": 2,  # user-day agg + path histogram (limit, no sort)
+    "events_retention_cohorts": 5,  # distinct + first-day agg + matrix agg + sort
+    "text_unigram_logprob": 5,  # vocab agg + 1-row total + doc agg + sort
+    "split_train_holdout_groups": 3,  # split agg (partial/final) + sort
+    "multimodal_resize": 2,  # mapInPandas + output sort
+    "udtf_token_runs": 2,  # UDTF generate + output sort
+    "cdc_upsert_latest_state": 5,  # 2 window sorts + anti-join + union + sort
+    # 4-way union re-plans the shared windowed frames per branch (8 static
+    # exchanges); identical ones collapse at runtime via ReuseExchange
+    "cdc_scd2_history": 8,
 }
 
 
