@@ -22,7 +22,15 @@ BNLJ_OK = {
 
 # streaming / iterative queries execute eagerly inside the callable —
 # plan introspection would run them; they're audited by their own tests
-SKIP = {"streaming_wordcount", "streaming_windowed_counts", "similarity_ivf_topk"}
+SKIP = {
+    "streaming_wordcount",
+    "streaming_windowed_counts",
+    "streaming_session_windows",
+    "streaming_purchase_attribution",
+    "streaming_dedup_events",
+    "streaming_enrich_static_join",
+    "similarity_ivf_topk",
+}
 
 
 def _registry():

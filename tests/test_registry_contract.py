@@ -49,6 +49,10 @@ def test_every_query_has_oracle_or_is_flagged():
     allowed_rows_only = {
         "streaming_wordcount",
         "streaming_windowed_counts",
+        "streaming_session_windows",
+        "streaming_purchase_attribution",
+        "streaming_dedup_events",
+        "streaming_enrich_static_join",
         "dedup_minhash_lsh_fast",
         "agg_approx_sketches",
         "sample_fraction",

@@ -30,3 +30,45 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(
         streaming_windowed_counts(spark, sf_dir), "q_streaming_windows", "complete"
     )
+
+
+@register("streaming_session_windows")  # rows-only: streaming op
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 30-min session windows per user, replayed to completion
+    (batch twin `window_session` is the oracle-backed shape)."""
+    from wordcount_spark.streaming.streams import streaming_session_windows
+
+    return run_to_completion(
+        streaming_session_windows(spark, sf_dir), "q_streaming_sessions", "complete"
+    )
+
+
+@register("streaming_purchase_attribution")  # rows-only: streaming op
+def q_streaming_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchases × prior-hour clicks), both
+    sides watermarked so join state stays time-bounded."""
+    from wordcount_spark.streaming.streams import streaming_purchase_attribution
+
+    return run_to_completion(
+        streaming_purchase_attribution(spark, sf_dir), "q_streaming_attr", "append"
+    )
+
+
+@register("streaming_dedup_events")  # rows-only: streaming op
+def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark — bounded-state streaming exact dedup."""
+    from wordcount_spark.streaming.streams import streaming_dedup_events
+
+    return run_to_completion(
+        streaming_dedup_events(spark, sf_dir), "q_streaming_dedup", "append"
+    )
+
+
+@register("streaming_enrich_static_join")  # rows-only: streaming op
+def q_streaming_enrich_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (event stream × batch profile)."""
+    from wordcount_spark.streaming.streams import streaming_enrich_static_join
+
+    return run_to_completion(
+        streaming_enrich_static_join(spark, sf_dir), "q_streaming_enrich", "complete"
+    )
