@@ -38,9 +38,9 @@ SHUFFLE_BUDGET = {
     "multimodal_resize": 2,  # mapInPandas + output sort
     "udtf_token_runs": 2,  # UDTF generate + output sort
     "cdc_upsert_latest_state": 5,  # 2 window sorts + anti-join + union + sort
-    # 4-way union re-plans the shared windowed frames per branch (8 static
-    # exchanges); identical ones collapse at runtime via ReuseExchange
-    "cdc_scd2_history": 8,
+    # single-pass scd2: two window exchanges + output sort (the 4-branch
+    # union formulation re-planned the shared frames to 8 exchanges)
+    "cdc_scd2_history": 4,
 }
 
 

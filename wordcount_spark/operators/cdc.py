@@ -50,21 +50,53 @@ def scd2_apply(
 ) -> DataFrame:
     """SCD2: for keys whose ``compare_cols`` changed, close the current row
     (set ``end_col`` to the change's ``ts_col``) and append the new
-    version with an open end. Unchanged keys pass through."""
+    version with an open end. Unchanged keys pass through. Assumes ≤ 1
+    change row per key (pre-aggregate multi-version batches first, e.g.
+    with the ``merge_upsert_latest`` window).
+
+    Single-pass plan: ONE left join of current rows to changes, then each
+    key emits its output rows from a conditional array + explode —
+    unchanged/unmatched keys yield [current], changed keys yield
+    [closed, new]. The earlier 4-branch union formulation re-planned (and
+    re-shuffled) the current/changed frames once per branch — Spark does
+    not reuse exchanges across union branches with distinct attribute
+    ids, so at scale that read the changelog ~4×; this form reads and
+    shuffles each side exactly once."""
     cur = dim.filter(F.col(end_col).isNull())
     closed_already = dim.filter(F.col(end_col).isNotNull())
+    c, n = cur.alias("__c"), changes.alias("__n")
+    joined = c.join(n, F.col(f"__c.{key}") == F.col(f"__n.{key}"), "left")
     cmp_cond = F.lit(False)
-    for c in compare_cols:
-        cmp_cond = cmp_cond | (cur[c] != changes[c])
-    changed = cur.join(changes, cur[key] == changes[key]).filter(cmp_cond)
-    closing = changed.select(
-        *[cur[c] for c in dim.columns if c != end_col],
-        changes[ts_col].alias(end_col),
+    for col in compare_cols:
+        cmp_cond = cmp_cond | (F.col(f"__c.{col}") != F.col(f"__n.{col}"))
+    # null-safe: no change row, or no compare col strictly differing → keep
+    changed = F.coalesce(cmp_cond, F.lit(False))
+    cur_row = F.struct(*[F.col(f"__c.{col}").alias(col) for col in dim.columns])
+    closing_row = F.struct(
+        *[
+            (
+                F.col(f"__n.{ts_col}").alias(col)
+                if col == end_col
+                else F.col(f"__c.{col}").alias(col)
+            )
+            for col in dim.columns
+        ]
     )
-    new_versions = changed.select(
-        *[changes[c] if c in changes.columns else cur[c] for c in dim.columns]
-    ).withColumn(end_col, F.lit(None).cast(dict(dim.dtypes)[end_col]))
-    unchanged_keys = cur.join(changed.select(cur[key]), key, "left_anti")
-    return closed_already.unionByName(unchanged_keys).unionByName(closing).unionByName(
-        new_versions
+    end_type = dict(dim.dtypes)[end_col]
+    new_row = F.struct(
+        *[
+            (
+                F.lit(None).cast(end_type).alias(col)
+                if col == end_col
+                else F.col(f"__n.{col}").alias(col)
+                if col in changes.columns
+                else F.col(f"__c.{col}").alias(col)
+            )
+            for col in dim.columns
+        ]
     )
+    rows = F.when(changed, F.array(closing_row, new_row)).otherwise(
+        F.array(cur_row)
+    )
+    applied = joined.select(F.explode(rows).alias("__r")).select("__r.*")
+    return closed_already.unionByName(applied)
