@@ -37,7 +37,7 @@ SHUFFLE_BUDGET = {
     "split_train_holdout_groups": 3,  # split agg (partial/final) + sort
     "multimodal_resize": 2,  # mapInPandas + output sort
     "udtf_token_runs": 2,  # UDTF generate + output sort
-    "cdc_upsert_latest_state": 5,  # 2 window sorts + anti-join + union + sort
+    "cdc_upsert_latest_state": 4,  # 2 window sorts + full-outer merge + sort
     # single-pass scd2: two window exchanges + output sort (the 4-branch
     # union formulation re-planned the shared frames to 8 exchanges)
     "cdc_scd2_history": 4,

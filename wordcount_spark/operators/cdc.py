@@ -19,9 +19,27 @@ from pyspark.sql import functions as F
 
 def merge_upsert(target: DataFrame, changes: DataFrame, key: str) -> DataFrame:
     """Rows of ``changes`` replace same-key rows of ``target``; unmatched
-    change rows insert. Schemas must match."""
-    kept = target.join(changes.select(key), key, "left_anti")
-    return kept.unionByName(changes)
+    change rows insert. Schemas must match.
+
+    One full-outer join, change side wins where present — the anti-join +
+    union formulation reads and shuffles the changeset twice (its lineage
+    appears in both branches and Spark does not reuse exchanges across
+    union branches); this form shuffles each side exactly once on the
+    merge key."""
+    t = target.alias("__t")
+    n = changes.withColumn("__m", F.lit(1)).alias("__n")
+    joined = t.join(n, on=key, how="full_outer")
+    take_change = F.col("__m").isNotNull()
+    return joined.select(
+        *[
+            F.col(key)
+            if c == key
+            else F.when(take_change, F.col(f"__n.{c}"))
+            .otherwise(F.col(f"__t.{c}"))
+            .alias(c)
+            for c in target.columns
+        ]
+    )
 
 
 def merge_upsert_latest(
