@@ -317,6 +317,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_revenue()).alias("total_revenue"))
+        # cached: referenced by both the scalar max and the final join —
+        # Spark does NOT reuse exchanges across those branches (verified:
+        # distinct AQE stage ids), so without the cache the lineitem
+        # scan+agg runs twice
+        .cache()
     )
     peak = revenue.agg(F.max("total_revenue").alias("peak_revenue"))
     return (
@@ -875,6 +880,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(two_nation_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_revenue()).alias("val"))
+        # cached so the threshold agg and the filter branch share ONE
+        # lineitem scan (no cross-branch exchange reuse otherwise)
+        .cache()
     )
     total = per_part.agg((F.lit(0.001) * F.sum("val").cast("double")).alias("threshold"))
     return (
