@@ -1,0 +1,107 @@
+"""Scale-up check: run representative pipelines at 1x and Nx synthetic
+data (the `synthdocs` Python DataSource generates rows in-executor — no
+I/O floor) and report the wall-clock growth ratio per pipeline.
+
+Sub-linear-to-linear growth at Nx data on fixed cores is the local-mode
+evidence that plans carry no hidden quadratic/size-dependent bottleneck;
+a super-linear ratio flags a shuffle or state blow-up long before a
+cluster run would. Run: ``python tools/scale_check.py [N]`` (default 20)
+— writes SCALE_CHECK.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+BASE_ROWS = 5_000
+PARTITIONS = 32
+
+
+def synth(spark, n_rows: int):
+    """(doc_id, text, lang, source, n_chars) rows generated in-executor."""
+    return (
+        spark.read.format("synthdocs")
+        .option("partitions", PARTITIONS)
+        .option("rows_per_partition", max(1, n_rows // PARTITIONS))
+        .option("seed", 42)
+        .load()
+    )
+
+
+def pipelines():
+    """name -> callable(df) returning a DataFrame to materialize."""
+    from pyspark.sql import functions as F
+
+    from wordcount_spark.operators.dedup import (
+        doc_shingle_hashes,
+        lsh_candidate_pairs,
+        minhash_signatures_from_hashes,
+    )
+    from wordcount_spark.operators.wordcount import count_words
+
+    def wc(df):
+        return count_words(df, "text", mode="head")
+
+    def lsh(df):
+        sigs = minhash_signatures_from_hashes(
+            doc_shingle_hashes(df, id_col="doc_id", text_col="text"), num_hashes=32
+        )
+        return lsh_candidate_pairs(sigs, bands=8, rows=4, hash_mode="xxhash64")
+
+    def quality(df):
+        toks = F.split("text", r"\s+")
+        return (
+            df.select(
+                "doc_id",
+                F.size(toks).alias("n_tokens"),
+                F.length("text").alias("n_chars"),
+            )
+            .filter(F.col("n_tokens") >= 5)
+            .groupBy()
+            .agg(F.count("*").alias("kept"), F.avg("n_chars").alias("avg_chars"))
+        )
+
+    return {"wordcount": wc, "minhash_lsh": lsh, "quality_gate": quality}
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+
+    from wordcount_spark.session import get_spark
+    from wordcount_spark.sources.pydatasource import SynthDocsDataSource
+
+    spark = get_spark("scale_check", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.dataSource.register(SynthDocsDataSource)
+
+    results: dict[str, dict] = {}
+    for name, fn in pipelines().items():
+        times = {}
+        for label, rows in (("1x", BASE_ROWS), (f"{mult}x", BASE_ROWS * mult)):
+            df = fn(synth(spark, rows))
+            df.write.format("noop").mode("overwrite").save()  # warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.monotonic()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.monotonic() - t0)
+            times[label] = round(best, 3)
+        ratio = round(times[f"{mult}x"] / times["1x"], 2)
+        results[name] = {**times, "growth_ratio": ratio, "data_ratio": mult}
+        print(f"{name}: 1x={times['1x']}s {mult}x={times[f'{mult}x']}s ratio={ratio}")
+
+    out = os.path.join(_REPO_ROOT, "SCALE_CHECK.json")
+    with open(out, "w") as f:
+        json.dump({"base_rows": BASE_ROWS, "multiplier": mult, "pipelines": results}, f, indent=2)
+    print(f"wrote {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
