@@ -341,3 +341,44 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@register(
+    "events_daily_anomaly",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY event_type, day)
+    SELECT event_type, day, n,
+           round((n - avg(n) OVER w) / stddev_samp(n) OVER w, 4) AS z
+    FROM d
+    WINDOW w AS (PARTITION BY event_type)
+    ORDER BY event_type, day
+    """,
+)
+def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly z-scores: each (event_type, day) count standardized
+    against that type's own daily distribution — the monitoring query every
+    ingestion pipeline runs. The window aggregates run over the ALREADY
+    aggregated daily frame (types × days rows, trivially small), never the
+    raw events; the one heavy exchange is the daily count's. round(4)
+    absorbs float-sum-order noise in avg/stddev between engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "n",
+            F.round(
+                (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w), 4
+            ).alias("z"),
+        )
+        .orderBy("event_type", "day")
+    )
