@@ -77,9 +77,9 @@ def main() -> None:
     # read+map stage ran at ~47.6 MB/s on 4 cores over raw_text_input
     # (BASELINE.md). Same input, same work (tokenize+normalize+count).
     corpus = os.environ.get("SPARK_GRAFT_CORPUS", "/root/reference/raw_text_input")
-    if os.path.isdir(corpus):
-        import glob as _glob
+    import glob as _glob
 
+    if os.path.isdir(corpus) and _glob.glob(os.path.join(corpus, "*")):
         from wordcount_spark.operators.wordcount import count_words
         from wordcount_spark.sources.readers import load_text_corpus
 

@@ -22,15 +22,8 @@ BNLJ_OK = {
 
 # streaming / iterative queries execute eagerly inside the callable —
 # plan introspection would run them; they're audited by their own tests
-SKIP = {
-    "streaming_wordcount",
-    "streaming_windowed_counts",
-    "streaming_session_windows",
-    "streaming_purchase_attribution",
-    "streaming_dedup_events",
-    "streaming_enrich_static_join",
-    "similarity_ivf_topk",
-}
+# (single source of truth: register(eager=True) in the registry)
+from wordcount_spark.registry import EAGER_QUERIES as SKIP  # noqa: E402
 
 
 def _registry():

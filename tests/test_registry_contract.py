@@ -46,16 +46,13 @@ def test_every_query_has_oracle_or_is_flagged():
     queries, oracles = _registry()
     missing = sorted(set(queries) - set(oracles))
     # Non-SQL-expressible ops may be listed here, consciously:
-    allowed_rows_only = {
-        "streaming_wordcount",
-        "streaming_windowed_counts",
-        "streaming_session_windows",
-        "streaming_purchase_attribution",
-        "streaming_dedup_events",
-        "streaming_enrich_static_join",
+    from wordcount_spark.registry import EAGER_QUERIES
+
+    # eager (streaming/iterative) queries are rows-only by nature; plus the
+    # engine-specific-randomness/hashing ops below
+    allowed_rows_only = EAGER_QUERIES | {
         "dedup_minhash_lsh_fast",
         "agg_approx_sketches",
         "sample_fraction",
-        "similarity_ivf_topk",
     }
     assert set(missing) <= allowed_rows_only, f"queries without oracle: {missing}"

@@ -5,10 +5,13 @@ container. The relational core of merge is engine-independent though, and
 at 100 TB it is exactly these two plans:
 
 - ``merge_upsert``: latest-wins apply of a changeset onto a snapshot
-  (one anti-join + union — both shuffle on the key, broadcastable when
-  the changeset is small, which is the common CDC case).
+  (anti-join + union; the anti-join probe is the key-pruned changeset,
+  broadcastable when the changeset is small, which is the common CDC
+  case — and the formulation stays correct for duplicate-key targets).
 - ``scd2_apply``: slowly-changing-dimension type 2 — close out changed
-  rows with an end timestamp, append new versions (history preserved).
+  rows with an end timestamp, append new versions (history preserved) —
+  as a single left join + conditional-array explode, since Spark does
+  not reuse exchanges across union branches.
 """
 
 from __future__ import annotations
@@ -19,27 +22,17 @@ from pyspark.sql import functions as F
 
 def merge_upsert(target: DataFrame, changes: DataFrame, key: str) -> DataFrame:
     """Rows of ``changes`` replace same-key rows of ``target``; unmatched
-    change rows insert. Schemas must match.
+    change rows insert. Schemas must match. Correct even when the target
+    carries duplicate keys (all of them are replaced by the change rows,
+    exactly once — a full-outer coalesce formulation would instead fan the
+    change row out per duplicate, so it is deliberately NOT used here).
 
-    One full-outer join, change side wins where present — the anti-join +
-    union formulation reads and shuffles the changeset twice (its lineage
-    appears in both branches and Spark does not reuse exchanges across
-    union branches); this form shuffles each side exactly once on the
-    merge key."""
-    t = target.alias("__t")
-    n = changes.withColumn("__m", F.lit(1)).alias("__n")
-    joined = t.join(n, on=key, how="full_outer")
-    take_change = F.col("__m").isNotNull()
-    return joined.select(
-        *[
-            F.col(key)
-            if c == key
-            else F.when(take_change, F.col(f"__n.{c}"))
-            .otherwise(F.col(f"__t.{c}"))
-            .alias(c)
-            for c in target.columns
-        ]
-    )
+    Plan: the big (target) side is read and shuffled once; only the small
+    changeset's lineage appears in both branches (column-pruned to the key
+    in the anti-join) — the acceptable side of the no-exchange-reuse-
+    across-branches rule."""
+    kept = target.join(changes.select(key), key, "left_anti")
+    return kept.unionByName(changes)
 
 
 def merge_upsert_latest(

@@ -183,7 +183,7 @@ def similarity_rp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", sig.alias("bucket")).orderBy("vec_id")
 
 
-@register("similarity_ivf_topk")  # rows-only: k-means training isn't SQL-expressible
+@register("similarity_ivf_topk", eager=True)  # rows-only: k-means training isn't SQL-expressible
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN search: k-means coarse quantizer (k=8,
     3 Lloyd iterations), then exact cosine scoring restricted to the

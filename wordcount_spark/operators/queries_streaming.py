@@ -15,7 +15,7 @@ from wordcount_spark.streaming.streams import (
 )
 
 
-@register("streaming_wordcount")  # rows-only: streaming op
+@register("streaming_wordcount", eager=True)  # rows-only: streaming op
 def q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship word count as an incremental stream, run to completion over
     the finite test input via a memory sink."""
@@ -24,7 +24,7 @@ def q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_windowed_counts")  # rows-only: streaming op
+@register("streaming_windowed_counts", eager=True)  # rows-only: streaming op
 def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window event counts as a stream."""
     return run_to_completion(
@@ -32,7 +32,7 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_session_windows")  # rows-only: streaming op
+@register("streaming_session_windows", eager=True)  # rows-only: streaming op
 def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked 30-min session windows per user, replayed to completion
     (batch twin `window_session` is the oracle-backed shape)."""
@@ -43,7 +43,7 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_purchase_attribution")  # rows-only: streaming op
+@register("streaming_purchase_attribution", eager=True)  # rows-only: streaming op
 def q_streaming_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (purchases × prior-hour clicks), both
     sides watermarked so join state stays time-bounded."""
@@ -54,7 +54,7 @@ def q_streaming_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-@register("streaming_dedup_events")  # rows-only: streaming op
+@register("streaming_dedup_events", eager=True)  # rows-only: streaming op
 def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark — bounded-state streaming exact dedup."""
     from wordcount_spark.streaming.streams import streaming_dedup_events
@@ -64,7 +64,7 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_enrich_static_join")  # rows-only: streaming op
+@register("streaming_enrich_static_join", eager=True)  # rows-only: streaming op
 def q_streaming_enrich_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment (event stream × batch profile)."""
     from wordcount_spark.streaming.streams import streaming_enrich_static_join

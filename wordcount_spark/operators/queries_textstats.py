@@ -852,7 +852,9 @@ def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="run_idx int, run_token string, run_len int")
     class TokenRuns:
         def eval(self, text: str):
-            toks = [t for t in _re.split(r"\s+", text or "") if t]
+            # ASCII whitespace only — Python \s is Unicode-aware and would
+            # diverge from TOKEN_SPLIT_RE and the oracle on e.g. \u00a0
+            toks = [t for t in _re.split(r"[ \t\n\x0b\f\r]+", text or "") if t]
             run_idx = 0
             i = 0
             while i < len(toks):

@@ -15,15 +15,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+#: queries whose callable EXECUTES work eagerly (streaming replay to a
+#: memory sink, iterative training) — plan introspection would run them.
+#: Single source of truth for the plan-smell test, the shuffle audit, and
+#: the rows-only allowlist.
+EAGER_QUERIES: set[str] = set()
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | None = None, eager: bool = False):
     """Decorator: add a query (and optionally its oracle SQL) to the registry."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if eager:
+            EAGER_QUERIES.add(name)
         return fn
 
     return deco

@@ -68,22 +68,34 @@ def compact_parquet(
     n_out = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
     if zorder_by:
         bounds = df.agg(
-            *[F.min(c).cast("double").alias(f"mn_{c}") for c in zorder_by],
-            *[F.max(c).cast("double").alias(f"mx_{c}") for c in zorder_by],
+            *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in zorder_by],
+            *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in zorder_by],
         ).collect()[0]
+        for c in zorder_by:
+            if bounds[f"mn_{c}"] is None or bounds[f"mx_{c}"] is None:
+                raise ValueError(
+                    f"zorder_by column {c!r} has no numeric values "
+                    "(all-NULL or non-numeric) — cannot derive bucket bounds"
+                )
         n_buckets = 1 << zorder_bits
+        # NULL values (in a partially-null column) bucket to 0: they sort
+        # together at the low end of the curve instead of landing wherever
+        # width_bucket's null propagation would put them
         buckets = [
-            F.least(
-                F.lit(n_buckets - 1),
-                (
-                    F.width_bucket(
-                        F.col(c).cast("double"),
-                        F.lit(bounds[f"mn_{c}"]),
-                        F.lit(bounds[f"mx_{c}"] + 1e-9),
-                        F.lit(n_buckets),
-                    )
-                    - 1
-                ).cast("long"),
+            F.coalesce(
+                F.least(
+                    F.lit(n_buckets - 1),
+                    (
+                        F.width_bucket(
+                            F.col(c).cast("double"),
+                            F.lit(bounds[f"mn_{c}"]),
+                            F.lit(bounds[f"mx_{c}"] + 1e-9),
+                            F.lit(n_buckets),
+                        )
+                        - 1
+                    ).cast("long"),
+                ),
+                F.lit(0),
             )
             for c in zorder_by
         ]
