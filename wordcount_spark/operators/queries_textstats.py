@@ -741,7 +741,8 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
     # cached: the broadcast join probe and the ln(N) total both read the
-    # model; without the cache each branch re-runs the vocab aggregation
+    # model; without the cache each branch re-runs the vocab aggregation.
+    # Vocab-cardinality session pin, accepted (Zipfian: small)
     model = toks.groupBy("tok").agg(F.count("*").alias("c")).cache()
     total = model.agg(F.log(F.sum("c").cast("double")).alias("ln_n"))
     return (

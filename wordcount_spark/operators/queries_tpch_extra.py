@@ -320,7 +320,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cached: referenced by both the scalar max and the final join —
         # Spark does NOT reuse exchanges across those branches (verified:
         # distinct AQE stage ids), so without the cache the lineitem
-        # scan+agg runs twice
+        # scan+agg runs twice. Session-lifetime pin, accepted: the frame
+        # is supplier-cardinality (a few MB even at SF100)
         .cache()
     )
     peak = revenue.agg(F.max("total_revenue").alias("peak_revenue"))
@@ -881,7 +882,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(_revenue()).alias("val"))
         # cached so the threshold agg and the filter branch share ONE
-        # lineitem scan (no cross-branch exchange reuse otherwise)
+        # lineitem scan (no cross-branch exchange reuse otherwise);
+        # part-cardinality pin for the session, accepted
         .cache()
     )
     total = per_part.agg((F.lit(0.001) * F.sum("val").cast("double")).alias("threshold"))
