@@ -74,3 +74,45 @@ def test_json_quarantine_splits_bad_records(spark, tmp_path):
     assert len(quarantined) == 2
     assert any("broken" in q for q in quarantined)
     assert any("not-an-int" in q for q in quarantined)
+
+
+def test_load_table_events_ts_schema_adaptive(spark, tmp_path):
+    """The driver has regenerated events.parquet with different timestamp
+    physical types across rounds (ns → µs). load_table must yield the
+    identical TIMESTAMP (LTZ) column for: ns footer (read as long via
+    nanosAsLong), µs/NTZ footer (cast), and a plain long column."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wordcount_spark.sources.readers import load_table
+
+    base = [1704067200_000_000, 1704070800_123_456]  # µs since epoch
+
+    def write(dirname, arr, typ):
+        d = tmp_path / dirname
+        d.mkdir()
+        t = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(arr, typ),
+                "user_id": pa.array([10, 20], pa.int64()),
+                "event_type": pa.array(["a", "b"]),
+                "value": pa.array([1.0, 2.0]),
+                "props": pa.array(["{}", "{}"]),
+            }
+        )
+        pq.write_table(t, d / "events.parquet")
+        return str(d)
+
+    variants = {
+        "ns": write("ns", [v * 1000 for v in base], pa.timestamp("ns")),
+        "us": write("us", base, pa.timestamp("us")),
+    }
+    got = {}
+    for name, d in variants.items():
+        df = load_table(spark, d, "events")
+        assert df.schema["ts"].dataType.simpleString() == "timestamp", name
+        got[name] = [r["ts"] for r in df.orderBy("event_id").collect()]
+    assert got["ns"] == got["us"], got
