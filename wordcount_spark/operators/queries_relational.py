@@ -1164,3 +1164,43 @@ def entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 5)
         .orderBy("c_custkey", "s_suppkey")
     )
+
+
+@register(
+    "basket_part_pairs",
+    """
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    HAVING count(*) >= 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in ≥ 2
+    orders, top 20. The self-join is keyed on l_orderkey, so the pair
+    fan-out is bounded by order size squared (≤ 7 lines per TPC-H order —
+    never a cross product); at 100 TB the order-key shuffle co-locates
+    both sides and skew is impossible by construction (order size is
+    bounded). Full tiebreak (n DESC, part_a, part_b) keeps the LIMIT
+    engine-stable."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )

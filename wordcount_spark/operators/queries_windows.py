@@ -382,3 +382,50 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events),
+    pairs AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type)
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+    FROM pairs
+    ORDER BY from_type, to_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event types: lead()
+    per user over (ts, event_id) — a deterministic total order — then pair
+    counts row-normalized into probabilities. The normalizing sum runs as
+    a window over the PAIR-COUNT frame (|types|² rows), never the event
+    stream; the single heavy exchange is the per-user window sort, the
+    minimum for any sequence feature. p is one exact-int division per row
+    — bit-identical across engines, no rounding needed."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("from_type")
+    return (
+        pairs.select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.sum("n").over(wt).cast("double")).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
