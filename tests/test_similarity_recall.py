@@ -38,3 +38,15 @@ def test_lsh_candidates_cover_high_jaccard_pairs(spark, sf_dir):
     }
     missed = strong - cands
     assert not missed, f"LSH missed high-similarity pairs: {sorted(missed)[:5]}"
+
+
+def test_pq_recall_vs_bruteforce(spark, sf_dir):
+    """PQ (m=8, k=16) ADC top-50 candidates + exact re-rank must recover
+    most of the exact top-10 — the candidate set is 25x the final k, so
+    quantization error has to be severe to push a true neighbor out."""
+    from wordcount_spark.operators.queries_similarity import similarity_pq_topk
+
+    exact = [r["vec_id"] for r in similarity_topk_bruteforce(spark, sf_dir).collect()]
+    pq = [r["vec_id"] for r in similarity_pq_topk(spark, sf_dir).collect()]
+    overlap = len(set(exact) & set(pq))
+    assert overlap >= 6, f"PQ recall too low: {overlap}/10 ({pq} vs {exact})"

@@ -394,3 +394,35 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register("similarity_pq_topk", eager=True)  # rows-only: k-means codebooks aren't SQL-expressible
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: per-subspace codebooks (m=8 subspaces ×
+    k=16 centroids over the 64-dim embeddings → 32-bit codes, a 64×
+    compression of the scan payload), asymmetric-distance (ADC) candidate
+    scan — m table lookups per row, zero float math per dimension — then
+    EXACT cosine re-rank of the top-50 candidates. The re-rank step is the
+    production pattern: approximate scan bounds the candidate set, exact
+    scoring restores ranking quality (recall bounded in
+    tests/test_similarity_recall.py). At 100 TB the ADC scan reads only
+    the codes column; full vectors are fetched for ~50 rows."""
+    from wordcount_spark.operators.pq import pq_adc_topk, pq_encode, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=8, k=16, max_iter=3)
+    encoded = pq_encode(emb, books)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qv = [float(v) for v in q.first()["qv"]]
+    cand = pq_adc_topk(
+        encoded.filter(F.col("vec_id") != 0), books, qv, n=50
+    ).select("vec_id")
+    qdf = F.broadcast(q)
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .join(F.broadcast(cand), "vec_id")
+        .join(qdf)
+        .select("vec_id", cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
