@@ -1204,3 +1204,83 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register(
+    "dq_referential_audit",
+    """
+    SELECT 'customer_orphan_nation' AS check_name, count(*) AS n_bad FROM customer c
+      LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL
+    UNION ALL
+    SELECT 'documents_chars_mismatch', count(*) FROM documents WHERE n_chars <> length(text)
+    UNION ALL
+    SELECT 'lineitem_bad_discount', count(*) FROM lineitem
+      WHERE l_discount < 0 OR l_discount > 1
+    UNION ALL
+    SELECT 'lineitem_nonpositive_price', count(*) FROM lineitem WHERE l_extendedprice <= 0
+    UNION ALL
+    SELECT 'lineitem_orphan_orders', count(*) FROM lineitem l
+      LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'lineitem_orphan_part', count(*) FROM lineitem l
+      LEFT JOIN part p ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL
+    UNION ALL
+    SELECT 'orders_null_custkey', count(*) FROM orders WHERE o_custkey IS NULL
+    UNION ALL
+    SELECT 'orders_orphan_customer', count(*) FROM orders o
+      LEFT JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL
+    ORDER BY check_name
+    """,
+)
+def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: referential-integrity orphans (anti-join counts
+    against every dimension) + domain constraints (discount ∈ [0,1],
+    positive prices, n_chars consistency) as one checks × violation-count
+    report — the audit every ingest pipeline runs before publishing a
+    snapshot. Orphan checks are LEFT-ANTI joins: dimension sides broadcast,
+    so each check costs one scan of its fact table and the whole audit is
+    a union of independent map-side jobs (embarrassingly parallel at any
+    scale; zero results expected, so output is bytes)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+    docs = _t(spark, sf_dir, "documents")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_bad")).select(
+            F.lit(name).alias("check_name"), "n_bad"
+        )
+
+    checks = [
+        check(
+            "customer_orphan_nation",
+            c.join(
+                F.broadcast(n), c.c_nationkey == n.n_nationkey, "left_anti"
+            ),
+        ),
+        check("documents_chars_mismatch", docs.filter(F.col("n_chars") != F.length("text"))),
+        check(
+            "lineitem_bad_discount",
+            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        ),
+        check("lineitem_nonpositive_price", li.filter(F.col("l_extendedprice") <= 0)),
+        check(
+            "lineitem_orphan_orders",
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+        ),
+        check(
+            "lineitem_orphan_part",
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_anti"),
+        ),
+        check("orders_null_custkey", o.filter(F.col("o_custkey").isNull())),
+        check(
+            "orders_orphan_customer",
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
+        ),
+    ]
+    out = checks[0]
+    for extra in checks[1:]:
+        out = out.unionByName(extra)
+    return out.orderBy("check_name")
