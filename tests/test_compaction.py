@@ -75,3 +75,36 @@ def test_zorder_rewrite_prunes_on_every_dimension(spark, tmp_path):
         assert touched < total_files, f"filter on {col} touched every file"
     # lossless rewrite
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_zorder_value_matches_python_morton(spark):
+    """Property: the zorder_value expression equals a reference Python
+    Morton interleave for arbitrary bucket ids (both dims, 8 bits)."""
+    import random
+
+    from wordcount_spark.sources.compaction import zorder_value
+
+    rng = random.Random(42)
+    rows = [(rng.randrange(256), rng.randrange(256)) for _ in range(200)] + [
+        (0, 0),
+        (255, 255),
+        (0, 255),
+        (255, 0),
+        (1, 128),
+    ]
+
+    def morton(a: int, b: int, bits: int = 8) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = (
+        df.withColumn("z", zorder_value([F.col("a"), F.col("b")], 8))
+        .orderBy("a", "b")
+        .collect()
+    )
+    for r in got:
+        assert r["z"] == morton(r["a"], r["b"]), (r["a"], r["b"], r["z"])
