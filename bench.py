@@ -37,6 +37,9 @@ HEADLINE = [
     "similarity_multiquery_topk",
     "text_tfidf_top_terms",
     "text_quality_score",
+    "text_unigram_logprob",
+    "events_path_mining",
+    "cdc_upsert_latest_state",
 ]
 
 
