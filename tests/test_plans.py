@@ -131,3 +131,13 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_shuffle_hash_hint_plans_shj(spark, sf_dir):
+    """join_shuffle_hash must plan a ShuffledHashJoin (not SortMergeJoin,
+    not a broadcast) — the hint pins the middle join strategy."""
+    from wordcount_spark.registry import get_queries
+
+    plan = formatted_plan(get_queries()["join_shuffle_hash"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan

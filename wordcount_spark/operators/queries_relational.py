@@ -1284,3 +1284,37 @@ def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for extra in checks[1:]:
         out = out.unionByName(extra)
     return out.orderBy("check_name")
+
+
+@register(
+    "join_shuffle_hash",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join under an explicit SHUFFLE_HASH hint: when the build
+    side fits per-partition memory but exceeds the broadcast threshold,
+    a shuffled hash join skips SortMergeJoin's two sorts — the middle
+    rung of the broadcast / shuffle-hash / sort-merge ladder (the plan
+    assertion lives in tests/test_plans.py). AQE can also pick SHJ from
+    runtime sizes; the hint pins the strategy for the demo."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(dec("l_quantity")).alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
