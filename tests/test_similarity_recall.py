@@ -50,3 +50,18 @@ def test_pq_recall_vs_bruteforce(spark, sf_dir):
     pq = [r["vec_id"] for r in similarity_pq_topk(spark, sf_dir).collect()]
     overlap = len(set(exact) & set(pq))
     assert overlap >= 6, f"PQ recall too low: {overlap}/10 ({pq} vs {exact})"
+
+
+def test_pca_variance_ratios_sane(spark, sf_dir):
+    """PCA audit: ratios strictly descending-or-equal, in (0, 1], summing
+    to ≤ 1; the synthetic label clusters concentrate variance, so the top
+    component must dominate the 64-dim average (> 1/64)."""
+    from wordcount_spark.operators.queries_similarity import embedding_pca_variance
+
+    rows = embedding_pca_variance(spark, sf_dir).collect()
+    ratios = [r["explained_variance_ratio"] for r in rows]
+    assert len(ratios) == 8
+    assert all(0 < r <= 1 for r in ratios)
+    assert all(a >= b - 1e-12 for a, b in zip(ratios, ratios[1:]))
+    assert sum(ratios) <= 1 + 1e-9
+    assert ratios[0] > 1 / 64

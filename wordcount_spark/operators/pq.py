@@ -121,3 +121,52 @@ def pq_adc_topk(
         .orderBy("adc_dist", id_col)
         .limit(n)
     )
+
+
+def pca_fit(
+    emb: DataFrame, n_components: int = 8, vec_col: str = "embedding"
+) -> tuple[list[list[float]], list[float]]:
+    """PCA via distributed second-moment partials: each Arrow batch
+    contributes (X^T X, sum x, count) — 64×64 + 64 + 1 floats regardless of
+    row count — and the driver eigendecomposes the 64×64 covariance
+    (numpy, trivial). This is the treeAggregate shape MLlib uses: the data
+    crosses the wire once as tiny partials, never as vectors.
+
+    Returns (components [n_components×dim], explained_variance_ratio)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    dim = len(emb.select(vec_col).first()[0])
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gram = np.zeros((dim, dim))
+        s = np.zeros(dim)
+        n = 0
+        for pdf in batches:
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            gram += x.T @ x
+            s += x.sum(axis=0)
+            n += len(x)
+        yield pd.DataFrame(
+            {"gram": [gram.ravel().tolist()], "s": [s.tolist()], "n": [n]}
+        )
+
+    rows = emb.select(vec_col).mapInPandas(
+        partials, schema="gram array<double>, s array<double>, n long"
+    ).collect()
+    import numpy as np  # re-import for clarity in driver scope
+
+    gram = sum(np.array(r["gram"]).reshape(dim, dim) for r in rows)
+    s = sum(np.array(r["s"]) for r in rows)
+    n = sum(r["n"] for r in rows)
+    mean = s / n
+    cov = gram / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    total = float(evals.sum())
+    comps = [evecs[:, i].tolist() for i in range(n_components)]
+    ratios = [float(evals[i] / total) for i in range(n_components)]
+    return comps, ratios

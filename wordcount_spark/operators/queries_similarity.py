@@ -426,3 +426,22 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
+
+
+@register("embedding_pca_variance", eager=True)  # rows-only: eigendecomposition isn't SQL-expressible
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 principal components' explained-variance ratios over the
+    embedding table — the dimensionality audit run before choosing a
+    reduced index dimension. Distributed part = one pass of Arrow-batched
+    second-moment partials (64×64 Gram + mean per batch, the treeAggregate
+    shape); the eigendecomposition is a driver-side 64×64 numpy call.
+    Sanity bounds (descending ratios, ≤ 1 total) are pinned in
+    tests/test_similarity_recall.py."""
+    from wordcount_spark.operators.pq import pca_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, ratios = pca_fit(emb, n_components=8)
+    return spark.createDataFrame(
+        [(i, float(r)) for i, r in enumerate(ratios)],
+        "component int, explained_variance_ratio double",
+    ).orderBy("component")
