@@ -156,8 +156,6 @@ def pca_fit(
     rows = emb.select(vec_col).mapInPandas(
         partials, schema="gram array<double>, s array<double>, n long"
     ).collect()
-    import numpy as np  # re-import for clarity in driver scope
-
     gram = sum(np.array(r["gram"]).reshape(dim, dim) for r in rows)
     s = sum(np.array(r["s"]) for r in rows)
     n = sum(r["n"] for r in rows)
