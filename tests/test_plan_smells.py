@@ -18,6 +18,9 @@ BNLJ_OK = {
     "q22_sales_opportunity",
     "q11_important_stock",
     "text_unigram_logprob",
+    # dense-grid spine: (time-span × |event_type|) cross join of two
+    # post-aggregation frames, both bucket-count sized by construction
+    "events_gapfill_hourly",
 }
 
 # streaming / iterative queries execute eagerly inside the callable —

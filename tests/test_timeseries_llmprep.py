@@ -1,0 +1,106 @@
+"""Semantic invariants for the time-series and LLM-prep operators —
+properties the DuckDB differential oracle can't state directly (density of
+the gap-filled grid, rollup conservation, chunk coverage, scrub residue)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from wordcount_spark.registry import get_queries
+
+
+def test_gapfill_grid_is_dense(spark):
+    df = get_queries()["events_gapfill_hourly"](spark, SF_DIR).cache()
+    hours = df.select("bucket_hour").distinct().count()
+    types = df.select("event_type").distinct().count()
+    assert df.count() == hours * types  # every cell present exactly once
+    # zero-filled cells really exist (the sf0.001 slice has sparse hours)
+    assert df.where("n_events = 0").count() > 0
+    # and zero-filled cells carry a zero sum, not NULL
+    assert df.where("n_events = 0 AND sum_value IS NULL").count() == 0
+    df.unpersist()
+
+
+def test_rollup_grains_conserve_totals(spark):
+    df = get_queries()["events_rollup_multigrain"](spark, SF_DIR).cache()
+    by_grain = {
+        r["grain"]: (r["n"], r["sv"])
+        for r in df.groupBy("grain")
+        .agg(F.sum("n_events").alias("n"), F.sum("sum_value").alias("sv"))
+        .collect()
+    }
+    assert by_grain["hour"][0] == by_grain["day"][0]  # same events counted
+    assert by_grain["hour"][1] == by_grain["day"][1]  # same value mass
+    df.unpersist()
+
+
+def test_chunk_windows_cover_every_token(spark):
+    from wordcount_spark.operators.queries_llmprep import CHUNK_S, CHUNK_W
+
+    qs = get_queries()
+    chunks = qs["text_chunk_windows"](spark, SF_DIR).cache()
+    # stride steps: consecutive chunk starts differ by exactly CHUNK_S
+    bad_stride = chunks.where(F.col("start_tok") != F.col("chunk_idx") * CHUNK_S)
+    assert bad_stride.count() == 0
+    # the last chunk of each doc reaches the final token: max(start+size) == n
+    from wordcount_spark.operators.queries_textstats import _toks
+    from wordcount_spark.sources.readers import load_table
+
+    n_by_doc = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", F.size(_toks()).alias("n"))
+        .where("n > 0")
+    )
+    covered = chunks.groupBy("doc_id").agg(
+        F.max(F.col("start_tok") + F.col("n_tokens_chunk")).alias("covered")
+    )
+    joined = covered.join(n_by_doc, "doc_id", "full_outer")
+    assert joined.where(
+        F.col("covered").isNull()
+        | F.col("n").isNull()
+        | (F.col("covered") != F.col("n"))
+    ).count() == 0
+    # every chunk is at most the window size and nonempty
+    assert chunks.where(
+        (F.col("n_tokens_chunk") <= 0) | (F.col("n_tokens_chunk") > CHUNK_W)
+    ).count() == 0
+    chunks.unpersist()
+
+
+def test_pii_scrub_leaves_no_matches(spark):
+    """Re-scrub of scrubbed text must find zero matches — checked by
+    rebuilding the scrubbed text (not the md5) inline."""
+    from wordcount_spark.operators.queries_llmprep import (
+        _EMAIL_RE,
+        _LONGID_RE,
+        _PHONE_RE,
+    )
+    from wordcount_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    synth = docs.select(
+        F.concat(
+            "text",
+            F.lit(" user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com 555-867-5309 900100200123"),
+        ).alias("text")
+    )
+    scrubbed = synth.select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+                F.lit(_PHONE_RE),
+                F.lit("<PHONE>"),
+            ),
+            F.lit(_LONGID_RE),
+            F.lit("<ID>"),
+        ).alias("clean")
+    )
+    residue = scrubbed.where(
+        (F.regexp_count("clean", F.lit(_EMAIL_RE)) > 0)
+        | (F.regexp_count("clean", F.lit(_PHONE_RE)) > 0)
+        | (F.regexp_count("clean", F.lit(_LONGID_RE)) > 0)
+    )
+    assert residue.count() == 0

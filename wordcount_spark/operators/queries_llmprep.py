@@ -1,0 +1,159 @@
+"""LLM training-data prep: document chunking into overlapping token
+windows, and PII scrubbing (extension surface, SURVEY.md §2.7).
+
+Chunking is the step between curation and tokenization in a training
+pipeline: each document becomes ⌈n/stride⌉ overlapping windows of at most
+``CHUNK_W`` tokens. Everything is JVM built-ins — split / filter / sequence
+/ posexplode / slice — so the whole operator lives inside whole-stage
+codegen; output size is input-token-count / stride, embarrassingly
+parallel, no shuffle at all (narrow explode).
+
+PII scrubbing is regex redaction (emails, phone numbers, long digit runs)
+via ``regexp_replace`` — also narrow, also codegen. The synthetic corpus
+contains no PII, so the query *injects* deterministic fake PII derived
+from ``doc_id`` (identically in Spark and the DuckDB oracle) before
+scrubbing — otherwise the operator would be verified on a no-op. Regexes
+stay in the Java-regex ∩ RE2 common subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wordcount_spark.operators.queries_textstats import _TOKS_SQL, _toks
+from wordcount_spark.registry import register
+from wordcount_spark.sources.readers import load_table
+
+#: chunk window size / stride (tokens); stride < size ⇒ overlap
+CHUNK_W = 32
+CHUNK_S = 16
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_LONGID_RE = "[0-9]{9,}"
+
+
+@register(
+    "text_chunk_windows",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_filter({_TOKS_SQL}, x -> x <> '') AS toks
+      FROM documents
+    ),
+    c AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0)
+    SELECT doc_id,
+           s.start // {CHUNK_S} AS chunk_idx,
+           s.start AS start_tok,
+           least({CHUNK_W}, n - s.start) AS n_tokens_chunk,
+           md5(array_to_string(
+               list_slice(toks, s.start + 1, least(s.start + {CHUNK_W}, n)),
+               ' ')) AS chunk_md5
+    FROM c, LATERAL (
+      SELECT unnest(generate_series(0, n - 1, {CHUNK_S})) AS start
+    ) s
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking ({CHUNK_W}-token windows every
+    {CHUNK_S}): the final partial window is kept (a trailing remnant is
+    real training data). ``posexplode`` gives the window ordinal directly;
+    ``slice`` is 1-based with a length arg, the oracle's ``list_slice`` is
+    1-based with an inclusive end — both clamped to the token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _toks().alias("toks")).withColumn(
+        "n", F.size("toks")
+    ).where(F.col("n") > 0)
+    return (
+        toks.select(
+            "doc_id",
+            "toks",
+            "n",
+            F.posexplode(
+                F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_S))
+            ).alias("chunk_idx", "start_tok"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "start_tok",
+            F.least(F.lit(CHUNK_W), F.col("n") - F.col("start_tok")).alias(
+                "n_tokens_chunk"
+            ),
+            F.md5(
+                F.array_join(
+                    F.slice("toks", F.col("start_tok") + 1, F.lit(CHUNK_W)), " "
+                )
+            ).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+    WITH synth AS (
+      SELECT doc_id,
+             text
+               || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+               || CASE WHEN doc_id % 2 = 0
+                       THEN ' call 555-867-5309' ELSE '' END
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' account 900100200' || CAST(doc_id AS VARCHAR)
+                       ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+           len(regexp_extract_all(text, '{_LONGID_RE}')) AS n_ids,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g'),
+                 '{_LONGID_RE}', '<ID>', 'g')) AS scrubbed_md5
+    FROM synth
+    ORDER BY doc_id
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction with per-class match counts. Scrub order is
+    email → phone → long-digit-run so earlier redactions can't create or
+    destroy later matches (the placeholders contain no digits). Spark
+    ``regexp_replace`` is replace-all by default; DuckDB needs the 'g'
+    flag — an easy silent-divergence trap."""
+    docs = load_table(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" call 555-867-5309")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" account 900100200"), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+            F.lit(_PHONE_RE),
+            F.lit("<PHONE>"),
+        ),
+        F.lit(_LONGID_RE),
+        F.lit("<ID>"),
+    )
+    return synth.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).alias("n_phones"),
+        F.regexp_count("text", F.lit(_LONGID_RE)).alias("n_ids"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    ).orderBy("doc_id")

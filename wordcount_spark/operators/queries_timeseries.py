@@ -1,0 +1,145 @@
+"""Time-series operators: gap-filled resampling and hypertable-style
+multi-granularity rollups over ``events`` (extension surface, SURVEY.md
+§2.7 — the reference has no temporal operators at all).
+
+Scale notes (the whole point of these shapes at 100 TB):
+
+- **Gap-fill**: the dense spine has ``time_range / grain × |type|`` rows —
+  a function of the *time span*, not the data volume, so it stays tiny
+  (720 hours × 5 types here) no matter how many raw events exist. The only
+  big operation is the hourly hash-aggregation of the raw scan (map-side
+  partial combine, one shuffle on (bucket, type)); the spine join touches
+  post-aggregation data only.
+- **Multi-grain rollup**: aggregate the raw data ONCE at the finest grain,
+  then derive every coarser grain *from the fine aggregate* (hour → day is
+  a few-thousand-row shuffle). Grouping-sets over the raw input would
+  Expand-duplicate every raw row per grain before the shuffle — 2× the map
+  work for identical results. The fine aggregate is cached because two
+  branches (hour output, day rollup) consume it; it is bucket-count sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wordcount_spark.operators.relational import dec
+from wordcount_spark.registry import register
+from wordcount_spark.sources.readers import load_table
+
+
+def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finest-grain aggregate: (hour bucket, event_type) → count + sum."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_hour"), "event_type"
+    ).agg(F.count("*").alias("n_events"), F.sum(dec("value")).alias("sum_value"))
+
+
+@register(
+    "events_gapfill_hourly",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
+             count(*) AS n_raw, sum(CAST(value AS DECIMAL(18,2))) AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_hour
+      FROM span
+    ),
+    grid AS (
+      SELECT spine.bucket_hour, t.event_type
+      FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    )
+    SELECT g.bucket_hour, g.event_type,
+           coalesce(h.n_raw, 0) AS n_events,
+           CAST(coalesce(h.sv, 0) AS DECIMAL(28,2)) AS sum_value
+    FROM grid g
+    LEFT JOIN hourly h
+      ON g.bucket_hour = h.bucket_hour AND g.event_type = h.event_type
+    ORDER BY g.bucket_hour, g.event_type
+    """,
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample: every (hour, event_type) cell in the observed
+    span, zero-filled where no events landed (timeseries DBs call this
+    gap-filling; the reference has nothing temporal — SURVEY.md §2.7).
+
+    The spine is generated with ``sequence(min, max, 1 hour)`` (both ends
+    inclusive, same as DuckDB ``generate_series``) crossed with the distinct
+    types — both post-aggregation and tiny, so the left join broadcasts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = _hourly(spark, sf_dir).withColumnRenamed("n_events", "n_raw")
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "bucket_hour"
+        )
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(types)
+    return (
+        grid.join(hourly, ["bucket_hour", "event_type"], "left")
+        .select(
+            "bucket_hour",
+            "event_type",
+            F.coalesce("n_raw", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0))
+            .cast("decimal(28,2)")
+            .alias("sum_value"),
+        )
+        .orderBy("bucket_hour", "event_type")
+    )
+
+
+@register(
+    "events_rollup_multigrain",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
+             count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sv
+      FROM events GROUP BY 1, 2
+    )
+    SELECT 'hour' AS grain, bucket_hour AS bucket, event_type,
+           n_events, CAST(sv AS DECIMAL(38,2)) AS sum_value
+    FROM hourly
+    UNION ALL
+    SELECT 'day' AS grain, date_trunc('day', bucket_hour) AS bucket, event_type,
+           sum(n_events) AS n_events, CAST(sum(sv) AS DECIMAL(38,2)) AS sum_value
+    FROM hourly GROUP BY 2, 3
+    ORDER BY grain, bucket, event_type
+    """,
+)
+def events_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hour and day grains in
+    one result, the day grain re-aggregated FROM the hour aggregate (never
+    from raw — see module docstring for why this beats grouping-sets at
+    scale)."""
+    hourly = _hourly(spark, sf_dir).cache()
+    hour_out = hourly.select(
+        F.lit("hour").alias("grain"),
+        F.col("bucket_hour").alias("bucket"),
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("decimal(38,2)").alias("sum_value"),
+    )
+    day_out = (
+        hourly.groupBy(
+            F.date_trunc("day", "bucket_hour").alias("bucket"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").cast("decimal(38,2)").alias("sum_value"),
+        )
+        .select(F.lit("day").alias("grain"), "bucket", "event_type", "n_events", "sum_value")
+    )
+    return hour_out.unionByName(day_out).orderBy("grain", "bucket", "event_type")

@@ -51,6 +51,8 @@ def _load_all() -> None:
         "queries_dedup",
         "queries_similarity",
         "queries_textstats",
+        "queries_timeseries",
+        "queries_llmprep",
         "queries_multimodal",
     ):
         try:
