@@ -21,6 +21,7 @@ BNLJ_OK = {
     # dense-grid spine: (time-span × |event_type|) cross join of two
     # post-aggregation frames, both bucket-count sized by construction
     "events_gapfill_hourly",
+    "events_resample_ffill",
 }
 
 # streaming / iterative queries execute eagerly inside the callable —

@@ -68,6 +68,59 @@ def test_chunk_windows_cover_every_token(spark):
     chunks.unpersist()
 
 
+def test_ffill_carries_last_observation(spark):
+    from pyspark.sql import Window
+
+    df = get_queries()["events_resample_ffill"](spark, SF_DIR).cache()
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_hour")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    checked = df.withColumn("prev_filled", F.last("filled_value", True).over(w))
+    # a gap cell must equal the previous filled value (or be a leading NULL)
+    bad = checked.where(
+        F.col("was_gap")
+        & F.col("filled_value").isNotNull()
+        & (F.col("filled_value") != F.col("prev_filled"))
+    )
+    assert bad.count() == 0
+    # gaps exist at this SF, and some are filled (not all leading)
+    assert df.where("was_gap AND filled_value IS NOT NULL").count() > 0
+    df.unpersist()
+
+
+def test_sessionize_gap_boundaries(spark):
+    """Events of one user sorted by time: the session ordinal increments
+    exactly when the gap to the previous event exceeds 30 minutes."""
+    from pyspark.sql import Window
+
+    from wordcount_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            > 30 * 60 * 1_000_000
+        ).alias("is_break"),
+    )
+    expected_sessions = gaps.groupBy("user_id").agg(
+        (F.sum(F.col("is_break").cast("long")) + 1).alias("n_sessions")
+    )
+    got = (
+        get_queries()["events_sessionize_gap"](spark, SF_DIR)
+        .groupBy("user_id")
+        .agg(F.max("session_no").alias("n_sessions"))
+    )
+    diff = expected_sessions.join(got, "user_id", "full_outer").where(
+        expected_sessions["n_sessions"] != got["n_sessions"]
+    )
+    assert diff.count() == 0
+
+
 def test_pii_scrub_leaves_no_matches(spark):
     """Re-scrub of scrubbed text must find zero matches — checked by
     rebuilding the scrubbed text (not the md5) inline."""

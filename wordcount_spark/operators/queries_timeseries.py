@@ -102,6 +102,147 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_resample_ffill",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
+             max_by(value, event_id) AS last_obs
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT s.bucket_hour, t.event_type
+      FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_hour
+            FROM span) s
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    )
+    SELECT bucket_hour, event_type,
+           last_value(last_obs IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket_hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           (last_obs IS NULL) AS was_gap
+    FROM grid LEFT JOIN hourly USING (bucket_hour, event_type)
+    ORDER BY bucket_hour, event_type
+    """,
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (last-observation-carried-forward) resample: the dense
+    hourly grid, each gap cell filled with the most recent observed value
+    for that event type. "Last observation" inside an hour is made
+    deterministic with ``max_by(value, event_id)`` (event_id is unique).
+
+    Scale: the LOCF window runs over the POST-aggregation grid (buckets ×
+    types), partitioned by type — never over raw events. Leading cells
+    before a type's first observation stay NULL, faithfully."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_hour"), "event_type"
+    ).agg(F.max_by("value", "event_id").alias("last_obs"))
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "bucket_hour"
+        )
+    )
+    grid = spine.crossJoin(ev.select("event_type").distinct())
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["bucket_hour", "event_type"], "left")
+        .select(
+            "bucket_hour",
+            "event_type",
+            F.last("last_obs", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("last_obs").isNull().alias("was_gap"),
+        )
+        .orderBy("bucket_hour", "event_type")
+    )
+
+
+@register(
+    "events_sessionize_gap",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, session_no, count(*) AS n_events,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+    FROM numbered GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+)
+def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic gap-based sessionization (30-min inactivity): lag → boundary
+    flag → running sum = session ordinal → per-session aggregates. The
+    companion ``window_session`` uses Spark's built-in ``session_window``;
+    this spells the mechanism out and is exactly SQL-expressible, so it
+    gets the strong oracle.
+
+    Scale: ONE shuffle on user_id serves both windows and the final
+    groupBy (same partitioning); sort within partition is (ts, event_id)
+    for a deterministic total order. Session durations are integer
+    microsecond diffs — exact on both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_no"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+@register(
     "events_rollup_multigrain",
     """
     WITH hourly AS (
