@@ -1,0 +1,41 @@
+"""Invariants for the iterative PageRank operator (the oracle already
+pins exact values; these pin the mathematical shape)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from wordcount_spark.registry import get_queries
+from wordcount_spark.sources.readers import load_table
+
+
+def test_pagerank_shape(spark):
+    ranks = get_queries()["graph_pagerank_parts"](spark, SF_DIR).cache()
+    n = load_table(spark, SF_DIR, "part").count()
+    assert ranks.count() == n  # every part is a node, connected or not
+
+    # all ranks positive, and isolated nodes sit exactly at (1-d)/N
+    floor = round(0.15 / n, 6)
+    assert ranks.where(F.col("rank") < floor).count() == 0
+
+    po = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    connected = (
+        po.alias("a")
+        .join(po.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("part_key"))
+        .distinct()
+    )
+    isolated = ranks.join(connected, "part_key", "left_anti")
+    assert isolated.where(F.col("rank") != floor).count() == 0
+
+    # total rank mass stays bounded by 1 (simplified formulation leaks the
+    # dangling mass, so it's strictly below 1 when isolated nodes exist)
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert 0.5 < total <= 1.000001
+    ranks.unpersist()

@@ -1,0 +1,130 @@
+"""Iterative graph processing: PageRank by power iteration over the part
+co-purchase graph (extension surface, SURVEY.md §2.7 — alongside k-means
+and PCA this covers the iterative-algorithm class the reference lacks).
+
+Graph construction: two parts are connected when they appear in the same
+order (the market-basket self-join, cf. ``basket_part_pairs``), edge
+weight = number of co-occurring orders, both directions present. Ranks
+use the simplified formulation (no dangling-mass redistribution): nodes
+with no in-edges settle at (1-d)/N.
+
+Scale notes: each iteration is one shuffle join (edges ⋈ ranks on src)
+plus one aggregation shuffle on dst — the textbook Pregel/GraphX pattern
+expressed as DataFrames. The edge list is the big invariant side: it is
+cached once and its partitioning is reused every iteration; the rank
+vector is |V|-sized (small side, broadcast-able). A fixed iteration count
+(K=5) keeps the oracle expressible as unrolled SQL; production would loop
+to an L1-delta threshold with ``localCheckpoint`` every few rounds to
+truncate lineage.
+
+Float determinism: per-node contribution sums are order-dependent double
+additions (~1e-15 relative drift between engines); ranks are rounded to
+6 dp on both sides — drift is ~9 orders of magnitude below the grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wordcount_spark.registry import register
+from wordcount_spark.sources.readers import load_table
+
+_D = 0.85  # damping
+_K = 5  # fixed power iterations (mirrored exactly in the oracle)
+
+
+def _oracle() -> str:
+    """Unrolled K-iteration PageRank in DuckDB SQL (numeric literals cast
+    to DOUBLE — DuckDB decimals would diverge from Spark's doubles)."""
+    iters = []
+    prev = "r0"
+    for k in range(1, _K + 1):
+        iters.append(
+            f"""
+    r{k} AS (
+      SELECT r0.node,
+             CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+               + CAST(0.85 AS DOUBLE) * coalesce(s.c, CAST(0 AS DOUBLE)) AS rank
+      FROM (SELECT node FROM r0) r0
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(e.frac * r.rank) AS c
+        FROM e JOIN {prev} r ON e.src = r.node GROUP BY 1
+      ) s USING (node)
+    )"""
+        )
+        prev = f"r{k}"
+    return f"""
+    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+      FROM po a JOIN po b USING (l_orderkey)
+      WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2
+    ),
+    e AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS frac FROM edges),
+    nn AS (SELECT count(*) AS n FROM part),
+    r0 AS (SELECT p_partkey AS node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank
+           FROM part),
+    {','.join(iters)}
+    SELECT node AS part_key, round(rank, 6) AS rank
+    FROM {prev} ORDER BY part_key
+    """
+
+
+@register("graph_pagerank_parts", _oracle(), eager=True)
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=5 power iterations of PageRank over the part co-purchase graph;
+    see module docstring for graph construction and scale notes."""
+    po = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        po.alias("a")
+        .join(po.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    wout = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    e = (
+        edges.join(wout, "src")
+        .select("src", "dst", (F.col("w") / F.col("wout")).alias("frac"))
+        .repartition(spark.sparkContext.defaultParallelism, "src")
+        .cache()
+    )
+    nodes = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node")
+    )
+    n = nodes.count()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(_K):
+        # the big cached edge list never moves: the |V|-sized rank vector
+        # broadcasts to it (at billions of nodes you'd flip this to a
+        # co-partitioned shuffle join on src instead)
+        contrib = (
+            e.join(F.broadcast(ranks), e["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("frac") * F.col("rank")).alias("c"))
+        )
+        # truncate lineage every iterate: otherwise materializing iterate k
+        # re-runs the whole 1..k-1 chain (O(K²) stages), and a lazy cache
+        # in the middle blocks AQE from coalescing the tiny shuffles. The
+        # vector is |V|-sized, so the per-iterate materialization is cheap.
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.lit(float(n))
+                    + F.lit(0.85) * F.coalesce("c", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("node").alias("part_key"), F.round("rank", 6).alias("rank")
+    ).orderBy("part_key")

@@ -53,6 +53,7 @@ def _load_all() -> None:
         "queries_textstats",
         "queries_timeseries",
         "queries_llmprep",
+        "queries_graph",
         "queries_multimodal",
     ):
         try:
