@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from wordcount_spark.operators.relational import dec
 from wordcount_spark.registry import register
 from wordcount_spark.sources.readers import load_table
 
@@ -437,6 +438,36 @@ def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked in tests/test_textstats.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.sample(fraction=0.1, seed=42).select("doc_id", "lang")
+
+
+@register(
+    "json_variant_props",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+           count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM events GROUP BY 1 ORDER BY k_val
+    """,
+)
+def json_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type: ``parse_json``
+    once, ``variant_get`` with a typed path — the open-schema ingestion
+    pattern (shreds at read, no fixed struct schema needed up front).
+    Unlike ``from_json`` (json_map_props) the variant binary encoding is
+    reparse-free on every later field access."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.variant_get(F.parse_json("props"), "$.k", "int").alias("k_val"),
+            "value",
+        )
+        .groupBy("k_val")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).alias("total_value"),
+        )
+        .orderBy("k_val")
+    )
 
 
 @register(

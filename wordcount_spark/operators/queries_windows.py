@@ -429,3 +429,39 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "window_time_range_frame",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_trailing_1h,
+           sum(CAST(value AS DECIMAL(18,2))) OVER w AS sum_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour RANGE frame per user: at every event, how many
+    events / how much value that user produced in the previous hour
+    (inclusive). RANGE (value-based) framing — unlike ROWS — includes all
+    timestamp peers, so the result is deterministic under ties with no
+    tiebreak column needed. The frame bound is numeric microseconds on
+    both engines; the framed sum goes through DECIMAL because a sliding
+    frame re-adds doubles in engine-specific order."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_trailing_1h"),
+        F.sum(dec("value")).over(w).alias("sum_trailing_1h"),
+    ).orderBy("event_id")

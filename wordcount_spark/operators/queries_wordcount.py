@@ -78,6 +78,42 @@ def q_wordcount_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked_word_count(spark, sf_dir)
 
 
+@register(
+    "wordcount_ci_collation",
+    f"""
+    WITH wc AS (
+      WITH toks AS ({_TOKS.format(keys="")}),
+      words AS (
+        SELECT {normalize_word_sql("tok", mode="stale")} AS word
+        FROM toks WHERE tok <> ''
+      )
+      SELECT word FROM words WHERE length(word) > 0
+    )
+    SELECT lower(word) AS word_ci, count(*) AS cnt
+    FROM wc GROUP BY 1 ORDER BY word_ci
+    """,
+)
+def q_wordcount_ci_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive word count through Spark 4 COLLATION
+    (``UTF8_LCASE``): grouping compares words case-insensitively inside
+    the hash aggregate — no lowercase copy of the data is materialized.
+    Uses the STALE normalizer (no ASCII-lowercase fold) so there are
+    actual case variants left to merge; the output key is canonicalized
+    with lower() only for display/oracle comparability (stale-mode tokens
+    are pure ASCII at the edges but can hold interior unicode — DuckDB
+    lower() and Spark lower() agree on this corpus's ASCII case variants)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = words_from_text(docs.select("text"), mode="stale")
+    return (
+        words.groupBy(F.collate("word", "UTF8_LCASE").alias("word_coll"))
+        .agg(F.count("*").alias("cnt"))
+        # the group representative's casing is whichever member the agg saw
+        # first (nondeterministic) — canonicalize AFTER the collated agg
+        .select(F.lower("word_coll").alias("word_ci"), "cnt")
+        .orderBy("word_ci")
+    )
+
+
 @register("wordcount_salted", _wc_sql())
 def q_wordcount_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof two-phase aggregation: count on (word, salt) first, then
