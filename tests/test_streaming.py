@@ -278,3 +278,23 @@ def test_streaming_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
     }
     assert final == want
     assert all(final[k] == 2 * v for k, v in first.items())
+
+
+def test_incremental_merge_invariant_to_batch_slicing(spark, sf_dir, tmp_path):
+    """The foreachBatch CDC merge must converge to the same state whether
+    the changelog arrives as ONE batch or as 4 out-of-order micro-batches:
+    latest-wins is by (ts, event_id) version, never arrival order."""
+    from wordcount_spark.sources.readers import load_table
+    from wordcount_spark.streaming.streams import streaming_incremental_merge
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "sliced")
+    # round-robin repartition: each file holds an arbitrary time-mixed
+    # slice, so per-batch maxima disagree with the global ones
+    ev.repartition(4).write.parquet(src)
+
+    sliced = streaming_incremental_merge(spark, src, path_glob="part-*.parquet")
+    whole = streaming_incremental_merge(spark, sf_dir)
+    assert sorted(map(tuple, sliced.collect())) == sorted(
+        map(tuple, whole.collect())
+    )

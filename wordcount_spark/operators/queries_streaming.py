@@ -72,3 +72,27 @@ def q_streaming_enrich_static_join(spark: SparkSession, sf_dir: str) -> DataFram
     return run_to_completion(
         streaming_enrich_static_join(spark, sf_dir), "q_streaming_enrich", "complete"
     )
+
+
+@register(
+    "streaming_incremental_merge",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           value AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+    eager=True,  # foreachBatch drives the stream inside the callable
+)
+def q_streaming_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch CDC apply: micro-batches of the events changelog merged
+    into a running latest-per-user state. Unusually for a streaming op the
+    FINAL state is exactly SQL-expressible (global latest per key), so
+    this one gets the strong oracle, not a rows-only check — the whole
+    stream → merge → state pipeline is differentially verified."""
+    from wordcount_spark.streaming.streams import streaming_incremental_merge
+
+    return streaming_incremental_merge(spark, sf_dir)
