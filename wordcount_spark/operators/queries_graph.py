@@ -128,3 +128,51 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("part_key"), F.round("rank", 6).alias("rank")
     ).orderBy("part_key")
+
+
+_REACH_SQL_BODY = """
+    WITH RECURSIVE po AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM {lineitem}
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM po a JOIN po b {using_clause}
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    reach(part_key, lvl) AS (
+      SELECT min(l_partkey), 0 FROM {lineitem}
+      UNION ALL
+      SELECT e.dst, r.lvl + 1
+      FROM reach r JOIN edges e ON e.src = r.part_key
+      WHERE r.lvl < 2
+    )
+    SELECT part_key, min(lvl) AS dist, count(*) AS n_paths
+    FROM reach GROUP BY part_key ORDER BY part_key
+"""
+
+
+@register(
+    "graph_recursive_reach",
+    _REACH_SQL_BODY.format(lineitem="lineitem", using_clause="USING (l_orderkey)"),
+)
+def graph_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS reachability (≤2 hops) from the smallest part key over the
+    co-purchase graph, written as a Spark 4 RECURSIVE CTE — the iterative
+    plan is driven by the engine itself (each recursion step is one
+    join+filter round, unioned) rather than a Python loop; ``n_paths``
+    counts distinct BFS walks, ``dist`` is the hop distance.
+
+    Spark and DuckDB run the textually identical statement (modulo the
+    join spelling) — recursion semantics (UNION ALL + level guard) are
+    ANSI. Scale: each step's frontier joins the distinct edge list once;
+    a depth guard bounds state. For unbounded-depth closures prefer the
+    dataframe loop with localCheckpoint (graph_pagerank_parts pattern)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "__reach_lineitem"
+    )
+    return spark.sql(
+        _REACH_SQL_BODY.format(
+            lineitem="__reach_lineitem",
+            using_clause="ON a.l_orderkey = b.l_orderkey",
+        )
+    )

@@ -157,3 +157,87 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(_LONGID_RE)).alias("n_ids"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     ).orderBy("doc_id")
+
+
+@register(
+    "chunk_dedup_overlap",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_filter({_TOKS_SQL}, x -> x <> '') AS toks
+      FROM documents
+    ),
+    base AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+    exc AS (
+      SELECT doc_id + 100000 AS doc_id,
+             list_slice(toks, 1, greatest(1, (3 * len(toks)) // 5)) AS toks
+      FROM base WHERE doc_id % 7 = 0
+    ),
+    alld AS (SELECT * FROM base UNION ALL SELECT * FROM exc),
+    c AS (SELECT doc_id, toks, len(toks) AS n FROM alld WHERE len(toks) > 0),
+    chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_slice(toks, s.start + 1, least(s.start + {CHUNK_W}, n)),
+               ' ')) AS h
+      FROM c, LATERAL (
+        SELECT unnest(generate_series(0, n - 1, {CHUNK_S})) AS start
+      ) s
+    ),
+    owners AS (SELECT h, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1)
+    SELECT doc_id, count(*) AS n_chunks,
+           count(*) FILTER (nd > 1) AS n_shared,
+           CAST(count(*) FILTER (nd > 1) AS DOUBLE) / count(*) AS share_ratio
+    FROM chunks JOIN owners USING (h)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def chunk_dedup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level duplication audit — the containment/excerpt detector a
+    training pipeline runs AFTER doc-level dedup (a quoted or truncated
+    copy shares its aligned chunk fingerprints with the source even though
+    the documents differ). The corpus has no natural copies, so 60%%
+    truncations of every 7th doc are injected identically in both engines:
+    originals in that set score ~0.6 shared, excerpts ~1.0 minus their
+    straddling final chunk, everything else 0.
+
+    Scale: fingerprints group on md5 (uniform shuffle keys, no skew); the
+    owner-count join-back is chunk-count sized. Same pattern at 100 TB —
+    this is exact-match on 16-byte hashes, never text comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _toks().alias("toks")).where(F.size("toks") > 0)
+    exc = base.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.slice(
+            "toks",
+            F.lit(1),
+            F.greatest(F.lit(1), F.expr("(3 * size(toks)) div 5")),
+        ).alias("toks"),
+    )
+    alld = base.unionByName(exc).withColumn("n", F.size("toks")).where("n > 0")
+    chunks = alld.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_S))
+        ).alias("start"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice("toks", F.col("start") + 1, F.lit(CHUNK_W)), " ")
+        ).alias("h"),
+    )
+    owners = chunks.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    joined = chunks.join(owners, "h")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count_if(F.col("nd") > 1).alias("n_shared"),
+            (
+                F.count_if(F.col("nd") > 1).cast("double") / F.count("*")
+            ).alias("share_ratio"),
+        )
+        .orderBy("doc_id")
+    )
