@@ -40,6 +40,9 @@ HEADLINE = [
     "text_unigram_logprob",
     "events_path_mining",
     "cdc_upsert_latest_state",
+    "events_gapfill_hourly",
+    "events_sessionize_gap",
+    "chunk_dedup_overlap",
 ]
 
 
