@@ -157,3 +157,15 @@ def test_pii_scrub_leaves_no_matches(spark):
         | (F.regexp_count("clean", F.lit(_LONGID_RE)) > 0)
     )
     assert residue.count() == 0
+
+
+def test_hll_rollup_error_bounded(spark):
+    """Day estimates from unioned hour sketches must sit within 5% of the
+    exact distinct count (HLL_4 default lgK=12 ⇒ ~1.6% RSE; 5% ≈ 3σ)."""
+    df = get_queries()["events_hll_rollup"](spark, SF_DIR)
+    bad = df.where(
+        F.abs(F.col("n_users_est") - F.col("n_users_exact"))
+        > 0.05 * F.col("n_users_exact")
+    )
+    assert df.count() > 0
+    assert bad.count() == 0

@@ -284,3 +284,35 @@ def events_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("day").alias("grain"), "bucket", "event_type", "n_events", "sum_value")
     )
     return hour_out.unionByName(day_out).orderBy("grain", "bucket", "event_type")
+
+
+@register("events_hll_rollup")  # rows-only: sketch estimates are engine-specific
+def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-hour HLL sketches of distinct users,
+    UNIONED up to day grain (``hll_union_agg``) and only then estimated —
+    the pre-aggregation pattern for distinct counts at 100 TB, where exact
+    per-window distinct is a full shuffle of raw keys but sketch union is
+    a few-KB-per-bucket merge. The exact day-grain distinct is computed
+    alongside purely as the audit column (pytest bounds the relative
+    error; production would drop it).
+
+    No SQL oracle: DataSketches HLL internals are engine-specific (DuckDB
+    approx_distinct uses a different sketch) — rows-only in the contract,
+    error-bounded in tests/test_timeseries_llmprep.py."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_hour"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    day_est = (
+        hour.groupBy(
+            F.date_trunc("day", "bucket_hour").alias("bucket_day"), "event_type"
+        )
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_users_est"))
+    )
+    day_exact = ev.groupBy(
+        F.date_trunc("day", "ts").alias("bucket_day"), "event_type"
+    ).agg(F.count_distinct("user_id").alias("n_users_exact"))
+    return (
+        day_est.join(day_exact, ["bucket_day", "event_type"])
+        .orderBy("bucket_day", "event_type")
+    )
