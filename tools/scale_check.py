@@ -68,7 +68,36 @@ def pipelines():
             .agg(F.count("*").alias("kept"), F.avg("n_chars").alias("avg_chars"))
         )
 
-    return {"wordcount": wc, "minhash_lsh": lsh, "quality_gate": quality}
+    def chunks(df):
+        # token-window chunking + fingerprint dedup count (narrow explode
+        # into one uniform-key shuffle — the chunk_dedup_overlap shape)
+        toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+        c = (
+            df.select("doc_id", toks.alias("toks"))
+            .withColumn("n", F.size("toks"))
+            .where("n > 0")
+        )
+        ch = c.select(
+            F.explode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(16))).alias("s"),
+            "toks",
+        ).select(
+            F.md5(F.array_join(F.slice("toks", F.col("s") + 1, F.lit(32)), " ")).alias(
+                "h"
+            )
+        )
+        return (
+            ch.groupBy("h")
+            .count()
+            .groupBy()
+            .agg(F.count("*").alias("n_unique_chunks"))
+        )
+
+    return {
+        "wordcount": wc,
+        "minhash_lsh": lsh,
+        "quality_gate": quality,
+        "chunk_fingerprints": chunks,
+    }
 
 
 def main() -> None:

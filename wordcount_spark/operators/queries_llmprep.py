@@ -241,3 +241,67 @@ def chunk_dedup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "mix_rebalance_to_min",
+    """
+    WITH c AS (SELECT lang, count(*) AS n_orig FROM documents GROUP BY 1),
+    r AS (
+      SELECT lang, n_orig,
+             CAST((SELECT min(n_orig) FROM c) AS DOUBLE) / n_orig AS rate
+      FROM c
+    ),
+    kept AS (
+      SELECT d.lang
+      FROM documents d JOIN r USING (lang)
+      WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
+            % 10000 < rate * 10000
+    )
+    SELECT r.lang, r.n_orig, r.rate, count(kept.lang) AS n_kept
+    FROM r LEFT JOIN kept USING (lang)
+    GROUP BY r.lang, r.n_orig, r.rate
+    ORDER BY r.lang
+    """,
+)
+def mix_rebalance_to_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing: downsample every language stratum to
+    the size of the smallest one, with per-stratum rates computed FROM the
+    data (rate = min_count / stratum_count) rather than configured — the
+    adaptive counterpart of ``sample_stratified_hash``. Membership stays a
+    pure hash of doc_id, so re-runs, retries, and the oracle select the
+    same rows.
+
+    Scale: one tiny counts aggregate, rates broadcast back, then a narrow
+    per-row filter — the full corpus is scanned once and never shuffled.
+    The md5 bucket has 10k granularity; realized n_kept therefore tracks
+    rate*n_orig only statistically (binomial), which is what production
+    mixture sampling does too."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_orig"))
+    rates = counts.withColumn(
+        "rate",
+        F.min("n_orig").over(Window.partitionBy()).cast("double")
+        / F.col("n_orig"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10
+    ).cast("long") % 10000
+    kept = (
+        docs.join(F.broadcast(rates.select("lang", "rate")), "lang")
+        .where(bucket < F.col("rate") * 10000)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_orig",
+            "rate",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
