@@ -43,6 +43,7 @@ HEADLINE = [
     "events_gapfill_hourly",
     "events_sessionize_gap",
     "chunk_dedup_overlap",
+    "pipeline_pretrain_full",
 ]
 
 

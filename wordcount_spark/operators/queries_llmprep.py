@@ -305,3 +305,155 @@ def mix_rebalance_to_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "pipeline_pretrain_full",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter({_TOKS_SQL}, x -> x <> '') AS toks,
+             md5(text) AS text_md5
+      FROM documents
+    ),
+    -- 1. quality gate: drop short docs BEFORE anything shuffles
+    q AS (SELECT * FROM t WHERE len(toks) >= 20),
+    -- 2. exact doc dedup: smallest doc_id per content hash survives
+    survivors AS (
+      SELECT doc_id, lang, toks
+      FROM (SELECT *, row_number() OVER (PARTITION BY text_md5
+                                         ORDER BY doc_id) AS rn FROM q)
+      WHERE rn = 1
+    ),
+    -- 3. adaptive mixture: downsample each lang stratum to the smallest
+    c AS (SELECT lang, count(*) AS n FROM survivors GROUP BY 1),
+    r AS (SELECT lang, CAST((SELECT min(n) FROM c) AS DOUBLE) / n AS rate FROM c),
+    mixed AS (
+      SELECT s.doc_id, s.lang, s.toks
+      FROM survivors s JOIN r USING (lang)
+      WHERE ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 7))::BIGINT
+            % 10000 < rate * 10000
+    ),
+    -- 4. chunk into overlapping token windows
+    chunks AS (
+      SELECT doc_id, lang,
+             least({CHUNK_W}, len(toks) - s.start) AS n_tok,
+             md5(array_to_string(
+               list_slice(toks, s.start + 1,
+                          least(s.start + {CHUNK_W}, len(toks))), ' ')) AS h,
+             s.start // {CHUNK_S} AS chunk_idx
+      FROM mixed, LATERAL (
+        SELECT unnest(generate_series(0, len(toks) - 1, {CHUNK_S})) AS start
+      ) s
+    ),
+    -- 5. chunk-level dedup: first (doc_id, chunk_idx) per fingerprint
+    uchunks AS (
+      SELECT doc_id, lang, n_tok
+      FROM (SELECT *, row_number() OVER (PARTITION BY h
+                                         ORDER BY doc_id, chunk_idx) AS rn
+            FROM chunks)
+      WHERE rn = 1
+    )
+    -- 6. leakage-free split by doc hash, then the corpus report
+    SELECT lang,
+           CASE WHEN ('0x' || substr(md5('s' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                     % 10 = 0
+                THEN 'holdout' ELSE 'train' END AS split,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_chunks,
+           sum(n_tok) AS n_tokens
+    FROM uchunks
+    GROUP BY 1, 2 ORDER BY lang, split
+    """,
+)
+def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-data flow as ONE composed DataFrame plan:
+    quality gate → exact doc dedup → adaptive mixture rebalance → token
+    chunking → chunk-fingerprint dedup → leakage-free train/holdout split
+    → per-(lang, split) corpus report. Every stage is an operator that
+    also exists (and is oracle-checked) standalone; this entry checks the
+    COMPOSITION end to end.
+
+    Stage order is the scale order: the quality gate is a narrow filter
+    before any shuffle; mixture sampling runs at doc grain BEFORE chunking
+    so dropped documents are never chunked; both dedups key on md5 (16
+    bytes, uniform) rather than text; the split is a pure hash of doc_id
+    (salted differently from the sampling hash so the two decisions are
+    independent), so no shuffle — chunks of one doc always land one side."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    t = docs.select(
+        "doc_id",
+        "lang",
+        _toks().alias("toks"),
+        F.md5("text").alias("text_md5"),
+    )
+    q = t.where(F.size("toks") >= 20)
+    w_dup = Window.partitionBy("text_md5").orderBy("doc_id")
+    survivors = (
+        q.withColumn("rn", F.row_number().over(w_dup))
+        .where("rn = 1")
+        .select("doc_id", "lang", "toks")
+    )
+    counts = survivors.groupBy("lang").agg(F.count("*").alias("n"))
+    rates = counts.select(
+        "lang",
+        (
+            F.min("n").over(Window.partitionBy()).cast("double") / F.col("n")
+        ).alias("rate"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    mixed = survivors.join(F.broadcast(rates), "lang").where(
+        bucket < F.col("rate") * 10000
+    )
+    chunks = mixed.select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n"),
+        "toks",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_S))
+        ).alias("chunk_idx", "start"),
+    ).select(
+        "doc_id",
+        "lang",
+        "chunk_idx",
+        F.least(F.lit(CHUNK_W), F.col("n") - F.col("start")).alias("n_tok"),
+        F.md5(
+            F.array_join(F.slice("toks", F.col("start") + 1, F.lit(CHUNK_W)), " ")
+        ).alias("h"),
+    )
+    w_chunk = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    uchunks = (
+        chunks.withColumn("rn", F.row_number().over(w_chunk))
+        .where("rn = 1")
+        .select("doc_id", "lang", "n_tok")
+    )
+    split_bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("s"), F.col("doc_id").cast("string"))), 1, 7
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    return (
+        uchunks.withColumn(
+            "split",
+            F.when(split_bucket == 0, F.lit("holdout")).otherwise(F.lit("train")),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .orderBy("lang", "split")
+    )
