@@ -169,3 +169,47 @@ def test_hll_rollup_error_bounded(spark):
     )
     assert df.count() > 0
     assert bad.count() == 0
+
+
+def test_bpe_merges_match_python_model(spark):
+    """The distributed BPE learner must produce the exact merge table an
+    independent single-machine Python implementation produces (greedy
+    left-to-right application, ties on weight broken by (left, right))."""
+    from collections import Counter
+
+    from wordcount_spark.operators.queries_llmprep import _BPE_STEPS
+    from wordcount_spark.operators.wordcount import words_from_text
+    from wordcount_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    vocab = Counter(
+        r["word"] for r in words_from_text(docs.select("text")).collect()
+    )
+    syms = {w: [list(w), c] for w, c in vocab.items()}
+
+    expected = []
+    for step in range(_BPE_STEPS):
+        pair_w = Counter()
+        for s, c in syms.values():
+            for a, b in zip(s, s[1:]):
+                pair_w[(a, b)] += c
+        if not pair_w:
+            break
+        # max weight, ties by smallest (left, right)
+        (l, r), w = min(pair_w.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((step, l, r, w))
+        for entry in syms.values():
+            s = entry[0]
+            out = []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            entry[0] = out
+
+    got = [
+        (r["step"], r["left"], r["right"], r["weight"])
+        for r in get_queries()["bpe_learn_merges"](spark, SF_DIR).collect()
+    ]
+    assert got == expected

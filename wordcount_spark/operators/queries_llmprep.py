@@ -457,3 +457,81 @@ def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+_BPE_STEPS = 5
+
+
+@register("bpe_learn_merges", eager=True)  # rows-only: merge APPLICATION is a
+# fold over symbol arrays — not SQL-expressible; differentially tested
+# against an independent Python BPE model in tests/test_timeseries_llmprep.py
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction (the tokenizer-training step of
+    an LLM data pipeline): K iterations of count-adjacent-symbol-pairs →
+    merge the most frequent pair everywhere.
+
+    The classic trick makes this cheap at any corpus size: BPE statistics
+    live on the DISTINCT-WORD table weighted by frequency, so the one
+    full-corpus operation is the word count (the flagship pipeline); every
+    merge iteration then runs over vocabulary-sized data. Pair counting is
+    a posexplode + hash agg; the winning pair is a 1-row collect (scalar
+    decision, like the k-means centroid pull); merge application is an
+    ``aggregate`` fold over each word's symbol array (greedy left-to-right,
+    non-overlapping), JVM-side. Ties break on (weight DESC, left, right) —
+    total order, both engines deterministic.
+
+    Returns the learned merge table (step, left, right, weight)."""
+    from wordcount_spark.operators.wordcount import words_from_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        words_from_text(docs.select("text"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wt"))
+    )
+    syms = vocab.select(
+        "wt", F.filter(F.split("word", ""), lambda c: c != F.lit("")).alias("s")
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for step in range(_BPE_STEPS):
+        pairs = syms.select(
+            "wt",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("s", 1, F.size("s") - 1),
+                    F.slice("s", 2, F.size("s") - 1),
+                )
+            ).alias("p"),
+        ).select("wt", F.col("p.0").alias("l"), F.col("p.1").alias("r"))
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("wt").alias("w"))
+            .orderBy(F.desc("w"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, w = top[0]["l"], top[0]["r"], int(top[0]["w"])
+        merges.append((step, l, r, w))
+        lr = l + r
+        syms = syms.select(
+            "wt",
+            F.aggregate(
+                "s",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(l))
+                    & (x == F.lit(r)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(lr))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("s"),
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges, "step: int, left: string, right: string, weight: long"
+    ).orderBy("step")
