@@ -116,7 +116,8 @@ def main() -> None:
             wc = count_words(load_text_corpus(spark, paths), "text", mode="head")
             wc.write.format("noop").mode("overwrite").save()
             best = float("inf")
-            for _ in range(3):
+            for _ in range(4):  # best-of-4: the floor is the signal, the
+                # rest is scheduler/GC noise on a shared box
                 t0 = time.monotonic()
                 wc.write.format("noop").mode("overwrite").save()
                 best = min(best, time.monotonic() - t0)
