@@ -1,7 +1,8 @@
 """Property test: the Spark chunker (sequence+posexplode+slice) must agree
 with an independent Python model on arbitrary documents — window/stride
 boundary cases (n < W, n exactly a stride multiple, single token) are the
-places a 1-based/0-based slice disagreement would hide."""
+places a 1-based/0-based slice disagreement would hide. Exercises the
+REAL operator expression (queries_llmprep.chunk_windows), not a copy."""
 
 from __future__ import annotations
 
@@ -9,7 +10,7 @@ import hashlib
 
 from hypothesis import given, settings, strategies as st
 
-from wordcount_spark.operators.queries_llmprep import CHUNK_S, CHUNK_W
+from wordcount_spark.operators.queries_llmprep import CHUNK_S, CHUNK_W, chunk_windows
 
 # whitespace-free tokens; docs as token lists so the model owns the joins
 token_st = st.text(
@@ -41,36 +42,14 @@ def model_chunks(toks: list[str]) -> list[tuple[int, int, int, str]]:
 def test_chunker_matches_model(spark, docs):
     from pyspark.sql import functions as F
 
-    from wordcount_spark.operators.queries_llmprep import CHUNK_S as S
-    from wordcount_spark.operators.queries_llmprep import CHUNK_W as W
-
     rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
     df = spark.createDataFrame(rows, "doc_id: long, text: string")
     toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
-    got = (
-        df.select("doc_id", toks.alias("toks"))
-        .withColumn("n", F.size("toks"))
-        .where("n > 0")
-        .select(
-            "doc_id",
-            "toks",
-            "n",
-            F.posexplode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(S))).alias(
-                "chunk_idx", "start_tok"
-            ),
-        )
-        .select(
-            "doc_id",
-            "chunk_idx",
-            "start_tok",
-            F.least(F.lit(W), F.col("n") - F.col("start_tok")).alias("nt"),
-            F.md5(
-                F.array_join(F.slice("toks", F.col("start_tok") + 1, F.lit(W)), " ")
-            ).alias("h"),
-        )
-        .collect()
-    )
-    got_set = {(r["doc_id"], r["chunk_idx"], r["start_tok"], r["nt"], r["h"]) for r in got}
+    got = chunk_windows(df.select("doc_id", toks.alias("toks"))).collect()
+    got_set = {
+        (r["doc_id"], r["chunk_idx"], r["start_tok"], r["n_tokens_chunk"], r["chunk_md5"])
+        for r in got
+    }
     want = {
         (i, idx, start, nt, h)
         for i, toks_list in enumerate(docs)

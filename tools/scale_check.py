@@ -70,7 +70,10 @@ def pipelines():
 
     def chunks(df):
         # token-window chunking + fingerprint dedup count (narrow explode
-        # into one uniform-key shuffle — the chunk_dedup_overlap shape)
+        # into one uniform-key shuffle — the chunk_dedup_overlap shape,
+        # same window/stride constants as the registered operator)
+        from wordcount_spark.operators.queries_llmprep import CHUNK_S, CHUNK_W
+
         toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
         c = (
             df.select("doc_id", toks.alias("toks"))
@@ -78,12 +81,14 @@ def pipelines():
             .where("n > 0")
         )
         ch = c.select(
-            F.explode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(16))).alias("s"),
+            F.explode(
+                F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_S))
+            ).alias("s"),
             "toks",
         ).select(
-            F.md5(F.array_join(F.slice("toks", F.col("s") + 1, F.lit(32)), " ")).alias(
-                "h"
-            )
+            F.md5(
+                F.array_join(F.slice("toks", F.col("s") + 1, F.lit(CHUNK_W)), " ")
+            ).alias("h")
         )
         return (
             ch.groupBy("h")

@@ -30,7 +30,10 @@ from pyspark.sql import functions as F
 from wordcount_spark.registry import register
 from wordcount_spark.sources.readers import load_table
 
-_D = 0.85  # damping
+# damping 0.85 appears as PAIRED literals 0.85/0.15 in both the Spark loop
+# and the oracle SQL below — a single _D constant would be a trap, because
+# 1 - 0.85 in float is 0.15000000000000002, not the 0.15 literal the SQL
+# needs to match bit-for-bit
 _K = 5  # fixed power iterations (mirrored exactly in the oracle)
 
 

@@ -34,6 +34,37 @@ _PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 _LONGID_RE = "[0-9]{9,}"
 
 
+def chunk_windows(toks_df: DataFrame) -> DataFrame:
+    """(doc_id, toks) → one row per overlapping token window. The single
+    source of the chunking expression — the registered query, the property
+    test, and composites all call this, so they cannot drift apart."""
+    return (
+        toks_df.withColumn("n", F.size("toks"))
+        .where(F.col("n") > 0)
+        .select(
+            "doc_id",
+            "toks",
+            "n",
+            F.posexplode(
+                F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_S))
+            ).alias("chunk_idx", "start_tok"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "start_tok",
+            F.least(F.lit(CHUNK_W), F.col("n") - F.col("start_tok")).alias(
+                "n_tokens_chunk"
+            ),
+            F.md5(
+                F.array_join(
+                    F.slice("toks", F.col("start_tok") + 1, F.lit(CHUNK_W)), " "
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+
+
 @register(
     "text_chunk_windows",
     f"""
@@ -62,33 +93,9 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``slice`` is 1-based with a length arg, the oracle's ``list_slice`` is
     1-based with an inclusive end — both clamped to the token count."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", _toks().alias("toks")).withColumn(
-        "n", F.size("toks")
-    ).where(F.col("n") > 0)
-    return (
-        toks.select(
-            "doc_id",
-            "toks",
-            "n",
-            F.posexplode(
-                F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_S))
-            ).alias("chunk_idx", "start_tok"),
-        )
-        .select(
-            "doc_id",
-            "chunk_idx",
-            "start_tok",
-            F.least(F.lit(CHUNK_W), F.col("n") - F.col("start_tok")).alias(
-                "n_tokens_chunk"
-            ),
-            F.md5(
-                F.array_join(
-                    F.slice("toks", F.col("start_tok") + 1, F.lit(CHUNK_W)), " "
-                )
-            ).alias("chunk_md5"),
-        )
-        .orderBy("doc_id", "chunk_idx")
-    )
+    return chunk_windows(
+        docs.select("doc_id", _toks().alias("toks"))
+    ).orderBy("doc_id", "chunk_idx")
 
 
 @register(
@@ -391,10 +398,15 @@ def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = t.where(F.size("toks") >= 20)
     w_dup = Window.partitionBy("text_md5").orderBy("doc_id")
+    # cached: both the rates branch and the sampling probe consume this
+    # frame, and Spark does not reuse exchanges across branches — without
+    # the cache the tokenize+md5+dedup lineage runs twice (same accepted
+    # session-lifetime cost as the other shared-frame caches)
     survivors = (
         q.withColumn("rn", F.row_number().over(w_dup))
         .where("rn = 1")
         .select("doc_id", "lang", "toks")
+        .cache()
     )
     counts = survivors.groupBy("lang").agg(F.count("*").alias("n"))
     rates = counts.select(

@@ -87,7 +87,8 @@ def q_wordcount_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT {normalize_word_sql("tok", mode="stale")} AS word
         FROM toks WHERE tok <> ''
       )
-      SELECT word FROM words WHERE length(word) > 0
+      SELECT word FROM words
+      WHERE length(word) > 0 AND regexp_matches(word, '^[\\x00-\\x7f]*$')
     )
     SELECT lower(word) AS word_ci, count(*) AS cnt
     FROM wc GROUP BY 1 ORDER BY word_ci
@@ -98,12 +99,15 @@ def q_wordcount_ci_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``UTF8_LCASE``): grouping compares words case-insensitively inside
     the hash aggregate — no lowercase copy of the data is materialized.
     Uses the STALE normalizer (no ASCII-lowercase fold) so there are
-    actual case variants left to merge; the output key is canonicalized
-    with lower() only for display/oracle comparability (stale-mode tokens
-    are pure ASCII at the edges but can hold interior unicode — DuckDB
-    lower() and Spark lower() agree on this corpus's ASCII case variants)."""
+    actual case variants left to merge. Restricted to ASCII-only tokens
+    on BOTH sides: for non-ASCII, ICU collation equality and Java
+    full-casemap lower() can diverge from DuckDB's simple-casemap
+    lower() (e.g. U+0130), so without the pin the oracle MATCH would
+    silently depend on corpus content surviving regeneration."""
     docs = load_table(spark, sf_dir, "documents")
-    words = words_from_text(docs.select("text"), mode="stale")
+    words = words_from_text(docs.select("text"), mode="stale").where(
+        F.col("word").rlike("^[\\x00-\\x7f]*$")
+    )
     return (
         words.groupBy(F.collate("word", "UTF8_LCASE").alias("word_coll"))
         .agg(F.count("*").alias("cnt"))

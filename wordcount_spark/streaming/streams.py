@@ -21,25 +21,28 @@ from pyspark.sql import functions as F
 from wordcount_spark.operators.wordcount import words_from_text
 
 
-def _stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _stream_table(
+    spark: SparkSession, sf_dir: str, name: str, path_glob: str | None = None
+) -> DataFrame:
     """readStream over the driver-generated parquet (schema from a batch
-    peek — streaming sources need an explicit schema)."""
-    batch = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # the file source requires a DIRECTORY; select the one table's file
-    # out of the shared testdata dir with a glob filter
+    peek — streaming sources need an explicit schema). ``path_glob``
+    overrides the one-table filter for multi-file replay dirs."""
+    glob = path_glob or f"{name}.parquet"
+    batch = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
+    # the file source requires a DIRECTORY; select the table's file(s)
+    # out of the shared dir with a glob filter
     return (
         spark.readStream.schema(batch.schema)
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", f"{name}.parquet")
+        .option("pathGlobFilter", glob)
         .load(sf_dir)
     )
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events stream with the ns→µs ts conversion (same as the batch loader)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = _stream_table(spark, sf_dir, "events")
+def _normalize_ts(raw: DataFrame) -> DataFrame:
+    """ns→µs ts conversion (same rules as the batch loader,
+    readers.load_table — the single place schema drift must be handled)."""
     from pyspark.sql.types import LongType, TimestampNTZType
 
     ts_type = raw.schema["ts"].dataType
@@ -50,6 +53,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # timezone the cast re-tags the same micros
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events stream with the ns→µs ts conversion (same as the batch loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _normalize_ts(_stream_table(spark, sf_dir, "events"))
 
 
 def streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,23 +295,9 @@ def streaming_incremental_merge(
     max version per key, localCheckpoint the |keys|-sized result so state
     lineage doesn't grow with batch count."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(f"{src_dir}").schema \
-        if path_glob == "*" else spark.read.option(
-            "pathGlobFilter", path_glob).parquet(src_dir).schema
-    raw = (
-        spark.readStream.schema(batch_schema)
-        .format("parquet")
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", path_glob)
-        .load(src_dir)
+    raw = _normalize_ts(
+        _stream_table(spark, src_dir, "events", path_glob=path_glob)
     )
-    from pyspark.sql.types import LongType, TimestampNTZType
-
-    ts_type = raw.schema["ts"].dataType
-    if isinstance(ts_type, LongType):
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif isinstance(ts_type, TimestampNTZType):
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     changelog = raw.select("user_id", "event_id", "ts", "event_type", "value")
 
     from pyspark.sql import Window
