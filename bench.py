@@ -44,6 +44,8 @@ HEADLINE = [
     "events_sessionize_gap",
     "chunk_dedup_overlap",
     "pipeline_pretrain_full",
+    "graph_triangle_count",
+    "text_pmi_bigrams",
 ]
 
 

@@ -39,3 +39,34 @@ def test_pagerank_shape(spark):
     total = ranks.agg(F.sum("rank")).collect()[0][0]
     assert 0.5 < total <= 1.000001
     ranks.unpersist()
+
+
+def test_triangle_count_matches_naive_ordering(spark):
+    """Differential check: the degree-oriented wedge-close count must equal
+    the naive id-ordered formulation (join edges u<v<w directly) — two
+    independent algorithms, one answer."""
+    from wordcount_spark.operators.queries_graph import (
+        _undirected_copurchase,
+        graph_triangle_count,
+    )
+
+    row = graph_triangle_count(spark, SF_DIR).collect()[0]
+
+    und = _undirected_copurchase(spark, SF_DIR).cache()
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    naive = (
+        e1.join(
+            e2,
+            (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")),
+        )
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .count()
+    )
+    assert row.n_triangles == naive
+    if row.n_wedges:
+        assert row.global_clustering == round(
+            3.0 * row.n_triangles / row.n_wedges, 6
+        )

@@ -22,6 +22,10 @@ BNLJ_OK = {
     # post-aggregation frames, both bucket-count sized by construction
     "events_gapfill_hourly",
     "events_resample_ffill",
+    # 1-row × 1-row final stitch (triangle total × wedge total) and 1-row
+    # normalizing-constant fan-out (n_uni/n_bi onto the bigram table)
+    "graph_triangle_count",
+    "text_pmi_bigrams",
 }
 
 # streaming / iterative queries execute eagerly inside the callable —

@@ -213,3 +213,46 @@ def test_bpe_merges_match_python_model(spark):
         for r in get_queries()["bpe_learn_merges"](spark, SF_DIR).collect()
     ]
     assert got == expected
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing must conserve tokens: (a) each doc's fragments sum to its
+    token count, (b) every sequence except the last is exactly full,
+    (c) fragments tile each sequence with no gaps or overlaps."""
+    from wordcount_spark.operators.queries_llmprep import PACK_C, _toks
+
+    frags = get_queries()["llm_pack_sequences"](spark, SF_DIR).cache()
+
+    from wordcount_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.size(_toks()).alias("n_tok")
+    ).where(F.col("n_tok") > 0)
+    per_doc = frags.groupBy("doc_id").agg(F.sum("n_toks").alias("got"))
+    bad = docs.join(per_doc, "doc_id", "full").where(
+        F.coalesce("got", F.lit(-1)) != F.coalesce("n_tok", F.lit(-2))
+    )
+    assert bad.count() == 0
+
+    per_seq = (
+        frags.groupBy("seq_id").agg(F.sum("n_toks").alias("fill")).collect()
+    )
+    last = max(r.seq_id for r in per_seq)
+    for r in per_seq:
+        assert r.fill == PACK_C or r.seq_id == last
+
+    # within each sequence, fragments ordered by doc_id are contiguous
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("seq_id").orderBy("doc_id")
+    gaps = (
+        frags.withColumn(
+            "expected_off",
+            F.coalesce(
+                F.lag(F.col("off_in_seq") + F.col("n_toks")).over(w), F.lit(0)
+            ),
+        )
+        .where(F.col("off_in_seq") != F.col("expected_off"))
+        .count()
+    )
+    assert gaps == 0

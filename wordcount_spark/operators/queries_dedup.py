@@ -533,3 +533,65 @@ def dedup_incremental_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5("text").alias("h")
     )
     return batch.join(corpus, "h", "left_anti").select("doc_id").orderBy("doc_id")
+
+
+@register(
+    "dedup_edit_distance_blocked",
+    """
+    WITH fp AS (
+      SELECT doc_id, lang, n_chars // 32 AS bucket,
+             substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 80)
+               AS fp
+      FROM documents
+    )
+    SELECT a.doc_id AS ida, b.doc_id AS idb,
+           levenshtein(a.fp, b.fp) AS edit_dist
+    FROM fp a JOIN fp b
+      ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.fp, b.fp) <= 12
+    ORDER BY ida, idb
+    """,
+)
+def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup under blocking: Levenshtein over an
+    80-char alphanumeric fingerprint, computed only WITHIN blocks of
+    (lang, 32-char length bucket) — the classic blocked record-linkage
+    shape (complement to MinHash: edit distance catches small in-place
+    mutations that shift many shingles at once).
+
+    Scale: Levenshtein is O(len²) per pair and the self-join is O(block²)
+    per block, so both inputs are bounded up front — the fingerprint caps
+    the per-pair cost at 80×80, and blocking on (lang, length-bucket) caps
+    candidate sets (bucket skew would be re-split by AQE; a hot block is
+    the salting case). Fingerprinting is ASCII-normalized so both engines'
+    character-level Levenshtein agree byte-for-byte. Known recall
+    tradeoff, as in any blocked linkage: a near-dup pair whose lengths
+    straddle a bucket boundary is missed (production would also probe the
+    adjacent bucket, doubling candidate pairs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "lang",
+        F.expr("n_chars div 32").alias("bucket"),
+        F.substring(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), 1, 80
+        ).alias("fp"),
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    dist = F.levenshtein(F.col("a.fp"), F.col("b.fp"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(dist <= 12)
+        .select(
+            F.col("a.doc_id").alias("ida"),
+            F.col("b.doc_id").alias("idb"),
+            dist.alias("edit_dist"),
+        )
+        .orderBy("ida", "idb")
+    )

@@ -547,3 +547,177 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step: int, left: string, right: string, weight: long"
     ).orderBy("step")
+
+
+#: context length (tokens) of one packed training sequence
+PACK_C = 512
+
+_PACK_SQL = f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter({_TOKS_SQL}, x -> x <> '')) AS n_tok
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, n_tok,
+             CAST(sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) AS s
+      FROM d WHERE n_tok > 0
+    ),
+    frags AS (
+      SELECT doc_id, n_tok, s,
+             unnest(range(s // {PACK_C}, (s + n_tok - 1) // {PACK_C} + 1))
+               AS seq_id
+      FROM spans
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(greatest(s, seq_id * {PACK_C}) - seq_id * {PACK_C} AS BIGINT)
+             AS off_in_seq,
+           CAST(least(s + n_tok, (seq_id + 1) * {PACK_C})
+                - greatest(s, seq_id * {PACK_C}) AS BIGINT) AS n_toks
+    FROM frags
+    ORDER BY seq_id, doc_id
+"""
+
+
+@register("llm_pack_sequences", _PACK_SQL, eager=True)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the concat-and-chop step between tokenization
+    and training: every document's token span lands at its running offset
+    in one corpus-wide stream (doc_id order), and the stream is chopped
+    into fixed PACK_C-token training sequences. Output = one row per
+    (document × sequence) fragment: which sequence, at what offset, how
+    many tokens — exactly the index a dataloader needs to assemble packed
+    batches with no padding.
+
+    Scale: the naive formulation is a GLOBAL ordered window (cumulative
+    token sum over doc_id) — a single-partition sort at 100 TB, the
+    SURVEY §7 risk-2 trap. Instead this runs the textbook two-phase
+    distributed prefix sum: range-partition by doc_id, cumsum WITHIN each
+    partition (parallel windows), collect only the P per-partition totals
+    (bytes, not rows) to the driver, and add each partition's exclusive
+    offset back as a broadcast map literal. localCheckpoint pins the
+    range partitioning so the totals job and the main job see identical
+    placement. The chop itself is a narrow explode (≤2 fragments per doc
+    unless a doc spans many sequences) — no further shuffle before the
+    output sort. eager=True: the P-row totals collect runs at plan-build
+    time (the oracle still pins exact values).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.size(_toks()).alias("n_tok")).where(
+        F.col("n_tok") > 0
+    )
+    npart = spark.sparkContext.defaultParallelism
+    rp = (
+        d.repartitionByRange(npart, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = {r["pid"]: r["tot"] for r in rp.groupBy("pid").agg(F.sum("n_tok").alias("tot")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off_col = F.element_at(
+        F.create_map(
+            *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
+        ),
+        F.col("pid"),
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = F.lit(PACK_C).cast("long")
+    spans = rp.withColumn(
+        "s", off_col + F.sum("n_tok").over(w) - F.col("n_tok")
+    )
+    frags = spans.withColumn(
+        "seq_id",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / c),
+                F.floor((F.col("s") + F.col("n_tok") - 1) / c),
+            )
+        ),
+    )
+    lo = F.greatest(F.col("s"), F.col("seq_id") * c)
+    hi = F.least(F.col("s") + F.col("n_tok"), (F.col("seq_id") + 1) * c)
+    return frags.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "doc_id",
+        (lo - F.col("seq_id") * c).cast("long").alias("off_in_seq"),
+        (hi - lo).cast("long").alias("n_toks"),
+    ).orderBy("seq_id", "doc_id")
+
+
+@register(
+    "mix_epoch_repeats",
+    """
+    WITH counts AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+    mx AS (SELECT max(c) AS m FROM counts),
+    w AS (SELECT source,
+                 least(CAST(4.0 AS DOUBLE), CAST(m AS DOUBLE) / c) AS wt
+          FROM counts, mx),
+    d AS (
+      SELECT doc_id, dd.source,
+             CAST(floor(wt) AS BIGINT) AS base,
+             CAST(floor((wt - floor(wt)) * 1000) AS BIGINT) AS thr,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000
+               AS b
+      FROM documents dd JOIN w USING (source)
+    )
+    SELECT doc_id, source,
+           base + CASE WHEN b < thr THEN 1 ELSE 0 END AS n_repeats
+    FROM d ORDER BY doc_id
+    """,
+)
+def mix_epoch_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Up-sampling side of mixture balancing (the complement of
+    ``mix_rebalance_to_min``): every source is repeated toward the largest
+    source's size with a FRACTIONAL epoch count — weight w = min(4,
+    max_count/count) gives each doc floor(w) guaranteed repeats plus one
+    more for the deterministic md5-bucket fraction of docs, so the
+    expected per-source total lands on w × count without any RNG. This is
+    the "repeat high-quality domains 2.7 epochs" knob of a pretraining
+    mixture, capped at 4 epochs (unbounded repetition of a tiny source is
+    a memorization bug, not a recipe).
+
+    Scale: per-source counts are a group-count (sources ≪ docs →
+    broadcast back); the repeat assignment is then a narrow map — pure
+    function of (doc_id, source weight) — so re-runs, retries, and the
+    oracle agree row-for-row. The downstream dataloader (or an explode on
+    n_repeats) materializes the copies; shipping counts instead of
+    exploded rows keeps the shuffle at one row per doc. The fractional
+    threshold uses floor(frac×1000) (not round) — round() half-breaking
+    differs between engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("c"))
+    mx = counts.agg(F.max("c").alias("m"))
+    w = counts.crossJoin(F.broadcast(mx)).select(
+        "source",
+        F.least(
+            F.lit(4.0), F.col("m").cast("double") / F.col("c")
+        ).alias("wt"),
+    )
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    thr = F.floor((F.col("wt") - F.floor("wt")) * 1000)
+    return (
+        docs.join(F.broadcast(w), "source")
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.floor("wt")
+                + F.when(b < thr, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_repeats"),
+        )
+        .orderBy("doc_id")
+    )

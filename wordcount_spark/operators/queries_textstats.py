@@ -907,3 +907,102 @@ def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, r.run_idx
         """
     )
+
+
+@register(
+    "text_pmi_bigrams",
+    """
+    WITH toks AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    model AS (
+      SELECT w, count(*) AS c
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ),
+    nu AS (SELECT CAST(sum(c) AS DOUBLE) AS n_uni FROM model),
+    bgall AS (
+      SELECT bg, count(*) AS c_ab
+      FROM (SELECT unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i+1])) AS bg
+            FROM toks)
+      GROUP BY bg
+    ),
+    nb AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS n_bi FROM bgall),
+    bgc AS (SELECT * FROM bgall WHERE c_ab >= 5)
+    SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2, c_ab,
+           round(ln((c_ab / n_bi) / ((ca.c / n_uni) * (cb.c / n_uni))), 4) + 0.0
+             AS pmi
+    FROM bgc
+    CROSS JOIN nu CROSS JOIN nb
+    JOIN model ca ON ca.w = split_part(bg, ' ', 1)
+    JOIN model cb ON cb.w = split_part(bg, ' ', 2)
+    ORDER BY w1, w2
+    """,
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent token
+    pairs, PMI = ln(p(ab) / (p(a)·p(b))) — the classic phrase detector
+    (word2vec-phrases / "New_York" merging) run before tokenizer training
+    on a pretraining corpus. Support floor c_ab ≥ 5 kills the noisy tail.
+
+    Scale: the raw token stream is never joined — bigram counting
+    aggregates it down to the distinct-bigram table first (Zipfian: ≪
+    corpus), the unigram model is vocab-sized (broadcast twice, as the
+    left and right marginal), and both normalizing totals are derived
+    from the already-aggregated tables (sum of counts), so the corpus is
+    scanned exactly twice (unigrams + bigrams) with the support filter
+    applied before the model join. round(4) absorbs libm ln() ulp drift,
+    as in text_unigram_logprob.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(_toks(F.lower("text")).alias("t"))
+    uni = toks.select(F.explode("t").alias("w"))
+    # Vocab-cardinality session pin, accepted (Zipfian: small); reused as
+    # both marginals and for the unigram total
+    model = uni.groupBy("w").agg(F.count("*").alias("c")).cache()
+    n_uni = model.agg(F.sum("c").cast("double").alias("n_uni"))
+    bgall = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, size(t) - 1),"
+                       " i -> concat(t[i-1], ' ', t[i]))")
+            ).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    n_bi = bgall.agg(F.sum("c_ab").cast("double").alias("n_bi"))
+    bgc = bgall.where(F.col("c_ab") >= 5)
+    ca, cb = model.alias("ca"), model.alias("cb")
+    w1 = F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+    w2 = F.split_part(F.col("bg"), F.lit(" "), F.lit(2))
+    return (
+        bgc.crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .join(F.broadcast(ca), F.col("ca.w") == w1)
+        .join(F.broadcast(cb), F.col("cb.w") == w2)
+        .select(
+            w1.alias("w1"),
+            w2.alias("w2"),
+            "c_ab",
+            # + 0.0 canonicalizes IEEE -0.0 to +0.0 — the value-hash compares
+            # stringified doubles and "-0.0" != "0.0"
+            (
+                F.round(
+                    F.log(
+                        (F.col("c_ab") / F.col("n_bi"))
+                        / (
+                            (F.col("ca.c") / F.col("n_uni"))
+                            * (F.col("cb.c") / F.col("n_uni"))
+                        )
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("pmi"),
+        )
+        .orderBy("w1", "w2")
+    )
