@@ -50,3 +50,46 @@ def test_scd2_apply(spark):
             (2, "old", "2019-01-01", "2020-01-01"), # pre-existing history
         ]
     )
+
+
+def test_incremental_agg_composes_across_batches(spark):
+    """The IVM invariant: applying the change stream as TWO sequential
+    delta batches must land on the same aggregate as one batch — and both
+    must equal the declarative recompute from final state. This is what
+    makes the refresh loop safe to run per micro-batch."""
+    from tests.conftest import SF_DIR
+    from wordcount_spark.operators.queries_cdc import (
+        agg_of_state,
+        apply_agg_deltas,
+        latest_state,
+    )
+    from wordcount_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    cut1 = F.lit("2024-01-11").cast("timestamp")
+    cut2 = F.lit("2024-01-21").cast("timestamp")
+
+    state0 = latest_state(ev.filter(F.col("ts") < cut1))
+    batch1 = latest_state(
+        ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2))
+    )
+    batch2 = latest_state(ev.filter(F.col("ts") >= cut2))
+    assert batch1.count() > 0 and batch2.count() > 0  # both steps real
+
+    agg1 = apply_agg_deltas(agg_of_state(state0), state0, batch1)
+    # state after batch1: batch rows win, untouched snapshot rows survive
+    state1 = batch1.unionByName(
+        state0.join(batch1.select("user_id"), "user_id", "left_anti")
+    )
+    agg2 = apply_agg_deltas(agg1, state1, batch2)
+
+    expected = {
+        r.event_type: (r.n_users, r.total_value)
+        for r in agg_of_state(latest_state(ev)).collect()
+    }
+    got = {
+        r.event_type: (r.n_users, r.total_value) for r in agg2.collect()
+    }
+    assert got == expected

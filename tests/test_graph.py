@@ -70,3 +70,39 @@ def test_triangle_count_matches_naive_ordering(spark):
         assert row.global_clustering == round(
             3.0 * row.n_triangles / row.n_wedges, 6
         )
+
+
+def test_kcore_matches_python_peel(spark):
+    """Differential check: the distributed iterative peel must produce the
+    same k-core membership and in-core degrees as a single-threaded
+    Python peel over the collected edge list."""
+    from wordcount_spark.operators.queries_graph import (
+        _KCORE_K,
+        _undirected_copurchase,
+        graph_kcore_members,
+    )
+
+    got = {
+        r.node: r.core_degree
+        for r in graph_kcore_members(spark, SF_DIR).collect()
+    }
+
+    edges = {
+        (r.u, r.v) for r in _undirected_copurchase(spark, SF_DIR).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        doomed = [n for n, nb in adj.items() if len(nb) < _KCORE_K]
+        changed = bool(doomed)
+        for n in doomed:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    expected = {n: len(nb) for n, nb in adj.items()}
+    assert got == expected
+    # sanity: the invariant that DEFINES a k-core
+    assert all(d >= _KCORE_K for d in got.values()) or not got

@@ -23,9 +23,11 @@ BNLJ_OK = {
     "events_gapfill_hourly",
     "events_resample_ffill",
     # 1-row × 1-row final stitch (triangle total × wedge total) and 1-row
-    # normalizing-constant fan-out (n_uni/n_bi onto the bigram table)
+    # normalizing-constant fan-out (n_uni/n_bi onto the bigram table; the
+    # max source count onto the per-source weight table)
     "graph_triangle_count",
     "text_pmi_bigrams",
+    "mix_epoch_repeats",
 }
 
 # streaming / iterative queries execute eagerly inside the callable —

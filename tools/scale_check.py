@@ -97,11 +97,29 @@ def pipelines():
             .agg(F.count("*").alias("n_unique_chunks"))
         )
 
+    def pack(df):
+        # two-phase distributed prefix sum + chop (llm_pack_sequences
+        # shape; shared helper). Note: the helper localCheckpoints the
+        # range-partitioned counts, so the timed re-materialization covers
+        # the cumsum windows + explode + final agg — the phases unique to
+        # this pipeline (tokenization cost is timed by the others).
+        from wordcount_spark.operators.queries_llmprep import pack_fragments
+
+        return (
+            pack_fragments(df)
+            .groupBy()
+            .agg(
+                F.count("*").alias("n_frags"),
+                (F.max("seq_id") + 1).alias("n_seqs"),
+            )
+        )
+
     return {
         "wordcount": wc,
         "minhash_lsh": lsh,
         "quality_gate": quality,
         "chunk_fingerprints": chunks,
+        "pack_sequences": pack,
     }
 
 

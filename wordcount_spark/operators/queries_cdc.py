@@ -135,3 +135,104 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         end_col="valid_to",
     )
     return hist.orderBy("user_id", "valid_from")
+
+
+@register(
+    "cdc_incremental_agg",
+    """
+    WITH latest AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t WHERE rn = 1)
+    SELECT event_type, count(*) AS n_users,
+           sum(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM latest GROUP BY event_type ORDER BY event_type
+    """,
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance (IVM): the
+    maintained view is per-event_type (n_users, total_value) over each
+    user's LATEST state. Instead of recomputing from the full state, the
+    change batch is applied as DELTAS: every affected user retracts
+    (-1, -old_value) from their old group and asserts (+1, +new_value)
+    into their new one; new_agg = old_agg ⊎ deltas. This is the update
+    path that moves rows BETWEEN groups — the case where naive
+    "re-aggregate the changed partition" breaks.
+
+    The oracle recomputes the view declaratively from global latest state,
+    so the delta algebra (retract/assert/merge, group drop-out when a type
+    empties) is differentially checked against the view definition — two
+    algorithms, one answer. Sums are DECIMAL(18,2): retractions must
+    cancel EXACTLY for vacated groups to hit zero (double residue would
+    leave phantom groups).
+
+    Scale: only the change batch and the affected snapshot rows move —
+    the retraction lookup is a join of the snapshot against the (small)
+    changed-key set, broadcast at 100 TB; old_agg is group-count sized.
+    The full state is never re-scanned per refresh; this is exactly the
+    foreachBatch maintenance loop of ``streaming_incremental_merge``
+    applied to an aggregate instead of row state.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    cut = F.lit(_CUTOFF).cast("timestamp")
+    snap = latest_state(ev.filter(F.col("ts") < cut))
+    chg = latest_state(ev.filter(F.col("ts") >= cut))
+    new_agg = apply_agg_deltas(agg_of_state(snap), snap, chg)
+    return new_agg.select(
+        "event_type", "n_users", "total_value"
+    ).orderBy("event_type")
+
+
+def latest_state(ev: DataFrame) -> DataFrame:
+    """Changelog → (user_id, event_type, val) latest-wins state, version
+    order (ts, event_id)."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("value").cast("decimal(18,2)").alias("val"),
+        )
+    )
+
+
+def agg_of_state(state: DataFrame) -> DataFrame:
+    """The maintained view, computed declaratively from a state table."""
+    return state.groupBy("event_type").agg(
+        F.count("*").alias("n_users"), F.sum("val").alias("total_value")
+    )
+
+
+def apply_agg_deltas(
+    old_agg: DataFrame, old_state: DataFrame, changes: DataFrame
+) -> DataFrame:
+    """One IVM refresh: retract each affected user's old (count, value)
+    contribution, assert the new one, merge with the old aggregate."""
+    retract = old_state.join(
+        changes.select("user_id"), "user_id", "left_semi"
+    ).select(
+        "event_type",
+        F.lit(-1).cast("long").alias("n_users"),
+        (-F.col("val")).alias("total_value"),
+    )
+    assert_ = changes.select(
+        "event_type",
+        F.lit(1).cast("long").alias("n_users"),
+        F.col("val").alias("total_value"),
+    )
+    return (
+        old_agg.select("event_type", "n_users", "total_value")
+        .unionByName(retract)
+        .unionByName(assert_)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_users").alias("n_users"),
+            F.sum("total_value").alias("total_value"),
+        )
+        .filter(F.col("n_users") > 0)
+    )

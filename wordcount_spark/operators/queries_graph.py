@@ -350,3 +350,54 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6),
         ).alias("global_clustering"),
     )
+
+
+_KCORE_K = 5  # the core order; fixed so the test can mirror it
+
+@register("graph_kcore_members", eager=True)  # rows-only: the peel is a
+# data-dependent fixpoint — no bounded SQL unrolling exists; correctness is
+# pinned by the Python-peel differential test in tests/test_graph.py
+def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core of the co-purchase graph (k=5): the maximal subgraph where
+    every node keeps ≥ k neighbors — the standard "dense backbone"
+    extractor (community seeds, spam-graph pruning, visualization
+    filtering). Iterative peel: drop nodes with degree < k, recompute
+    degrees on the induced subgraph, repeat to fixpoint.
+
+    Scale: each round is one degree aggregation + one semi-join of the
+    edge list against surviving nodes — the edge frame shrinks
+    monotonically, so later rounds are cheaper, and the loop
+    localCheckpoints each round (pagerank pattern: truncate lineage, keep
+    AQE free to re-plan the shrinking joins). Convergence is data-driven
+    with a hard iteration cap; each round's survivor count is the
+    monotone progress measure. Output: surviving nodes with their degree
+    inside the core.
+    """
+    und = _undirected_copurchase(spark, sf_dir).localCheckpoint(eager=True)
+    edges = und  # both directions counted via the union below
+    for _ in range(30):  # cap; peel converges in ≪30 rounds in practice
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.where(F.col("d") >= _KCORE_K).select("node")
+        pruned = (
+            edges.join(
+                keep.withColumnRenamed("node", "u"), "u", "left_semi"
+            )
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        if pruned.count() == edges.count():
+            break
+        edges = pruned
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("core_degree"))
+        .orderBy("node")
+    )

@@ -579,32 +579,13 @@ _PACK_SQL = f"""
 """
 
 
-@register("llm_pack_sequences", _PACK_SQL, eager=True)
-def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing — the concat-and-chop step between tokenization
-    and training: every document's token span lands at its running offset
-    in one corpus-wide stream (doc_id order), and the stream is chopped
-    into fixed PACK_C-token training sequences. Output = one row per
-    (document × sequence) fragment: which sequence, at what offset, how
-    many tokens — exactly the index a dataloader needs to assemble packed
-    batches with no padding.
-
-    Scale: the naive formulation is a GLOBAL ordered window (cumulative
-    token sum over doc_id) — a single-partition sort at 100 TB, the
-    SURVEY §7 risk-2 trap. Instead this runs the textbook two-phase
-    distributed prefix sum: range-partition by doc_id, cumsum WITHIN each
-    partition (parallel windows), collect only the P per-partition totals
-    (bytes, not rows) to the driver, and add each partition's exclusive
-    offset back as a broadcast map literal. localCheckpoint pins the
-    range partitioning so the totals job and the main job see identical
-    placement. The chop itself is a narrow explode (≤2 fragments per doc
-    unless a doc spans many sequences) — no further shuffle before the
-    output sort. eager=True: the P-row totals collect runs at plan-build
-    time (the oracle still pins exact values).
-    """
+def pack_fragments(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → packed-sequence fragments (see llm_pack_sequences
+    for semantics + scale notes). Shared by the registered query and the
+    scale check so the two can't drift."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    spark = docs.sparkSession
     d = docs.select("doc_id", F.size(_toks()).alias("n_tok")).where(
         F.col("n_tok") > 0
     )
@@ -650,7 +631,34 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (lo - F.col("seq_id") * c).cast("long").alias("off_in_seq"),
         (hi - lo).cast("long").alias("n_toks"),
-    ).orderBy("seq_id", "doc_id")
+    )
+
+
+@register("llm_pack_sequences", _PACK_SQL, eager=True)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the concat-and-chop step between tokenization
+    and training: every document's token span lands at its running offset
+    in one corpus-wide stream (doc_id order), and the stream is chopped
+    into fixed PACK_C-token training sequences. Output = one row per
+    (document × sequence) fragment: which sequence, at what offset, how
+    many tokens — exactly the index a dataloader needs to assemble packed
+    batches with no padding.
+
+    Scale: the naive formulation is a GLOBAL ordered window (cumulative
+    token sum over doc_id) — a single-partition sort at 100 TB, the
+    SURVEY §7 risk-2 trap. Instead this runs the textbook two-phase
+    distributed prefix sum: range-partition by doc_id, cumsum WITHIN each
+    partition (parallel windows), collect only the P per-partition totals
+    (bytes, not rows) to the driver, and add each partition's exclusive
+    offset back as a broadcast map literal. localCheckpoint pins the
+    range partitioning so the totals job and the main job see identical
+    placement. The chop itself is a narrow explode (≤2 fragments per doc
+    unless a doc spans many sequences) — no further shuffle before the
+    output sort. eager=True: the P-row totals collect runs at plan-build
+    time (the oracle still pins exact values).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_fragments(docs).orderBy("seq_id", "doc_id")
 
 
 @register(
