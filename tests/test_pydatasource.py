@@ -121,3 +121,63 @@ def test_stream_wordcount_parity_with_batch(spark, tmp_path):
         .collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_jsonldir_writer_commit_protocol(spark, tmp_path):
+    """Happy path: every task's file lands, the manifest is the source of
+    truth, and re-reading the committed files reproduces the data."""
+    import json
+    import os
+
+    from wordcount_spark.sources.pydatasource import JsonlDirDataSource
+
+    spark.dataSource.register(JsonlDirDataSource)
+    out = str(tmp_path / "sink")
+    df = spark.range(0, 100, 1, 4).selectExpr(
+        "id", "concat('row-', id) AS tag"
+    )
+    df.write.format("jsonldir").option("path", out).mode("append").save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST")))
+    assert manifest["total_rows"] == 100
+    assert len(manifest["files"]) == 4  # one per partition
+    got = []
+    for entry in manifest["files"]:
+        fpath = os.path.join(out, entry["file"])
+        assert not fpath.endswith(".tmp")
+        with open(fpath) as f:
+            rows = [json.loads(line) for line in f]
+        assert len(rows) == entry["rows"]
+        got.extend(rows)
+    assert sorted((r["id"], r["tag"]) for r in got) == [
+        (i, f"row-{i}") for i in range(100)
+    ]
+    # no stray temp files survive a successful commit
+    assert not [n for n in os.listdir(out) if n.endswith(".tmp")]
+
+
+def test_jsonldir_writer_abort_leaves_nothing_visible(spark, tmp_path):
+    """Failure path: a task that keeps failing aborts the job — no
+    manifest is written, so readers see NO output (torn temp files from
+    other tasks are invisible garbage at worst, swept by abort())."""
+    import os
+
+    import pytest as _pytest
+
+    from wordcount_spark.sources.pydatasource import JsonlDirDataSource
+
+    spark.dataSource.register(JsonlDirDataSource)
+    out = str(tmp_path / "sink")
+    df = spark.range(0, 100, 1, 4).selectExpr("id")
+    with _pytest.raises(Exception, match="injected failure"):
+        (
+            df.write.format("jsonldir")
+            .option("path", out)
+            .option("fail_partition", "2")
+            .mode("append")
+            .save()
+        )
+    assert not os.path.exists(os.path.join(out, "_MANIFEST"))
+    assert not [
+        n for n in os.listdir(out) if n.endswith(".jsonl")
+    ] if os.path.exists(out) else True

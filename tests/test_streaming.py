@@ -298,3 +298,35 @@ def test_incremental_merge_invariant_to_batch_slicing(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, sliced.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_agg_maintenance_invariant_to_batch_slicing(spark, sf_dir, tmp_path):
+    """The streamed IVM aggregate must equal the declarative recompute
+    from final state — whether the changelog arrives whole or as 4
+    out-of-order micro-batches."""
+    from wordcount_spark.operators.queries_cdc import agg_of_state, latest_state
+    from wordcount_spark.sources.readers import load_table
+    from wordcount_spark.streaming.streams import streaming_agg_maintenance
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "sliced")
+    ev.repartition(4).write.parquet(src)
+
+    sliced = streaming_agg_maintenance(spark, src, path_glob="part-*.parquet")
+    whole = streaming_agg_maintenance(spark, sf_dir)
+    expected = sorted(
+        (r.event_type, r.n_users, r.total_value)
+        for r in agg_of_state(
+            latest_state(
+                ev.select("user_id", "event_id", "ts", "event_type", "value")
+            )
+        ).collect()
+    )
+    got_sliced = sorted(
+        (r.event_type, r.n_users, r.total_value) for r in sliced.collect()
+    )
+    got_whole = sorted(
+        (r.event_type, r.n_users, r.total_value) for r in whole.collect()
+    )
+    assert got_sliced == expected
+    assert got_whole == expected

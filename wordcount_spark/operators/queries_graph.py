@@ -183,21 +183,30 @@ def graph_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _undirected_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct undirected co-purchase edges (u < v) between parts sharing
-    an order — the input for the static graph-metric queries below."""
-    po = (
+    an order — the input for the static graph-metric queries below.
+
+    Built basket-style: ONE shuffle groups each order's parts into a
+    sorted array, pairs expand in-array (narrow — baskets are small, the
+    per-order pair count is bounded by basket size², not graph size),
+    then one distinct shuffle on the pairs. The self-join formulation
+    (used by the oracles and the PageRank edge builder) costs an extra
+    full shuffle of the fact table for the same result; a pathological
+    mega-basket would be the skew case — cap or salt baskets first."""
+    parts = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .where(F.size("ps") >= 2)
     )
-    return (
-        po.alias("a")
-        .join(po.alias("b"), "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
+    pairs = parts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("e")
     )
+    return pairs.select("e.u", "e.v").distinct()
 
 
 _UND_SQL = """

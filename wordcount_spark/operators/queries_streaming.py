@@ -96,3 +96,14 @@ def q_streaming_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame
     from wordcount_spark.streaming.streams import streaming_incremental_merge
 
     return streaming_incremental_merge(spark, sf_dir)
+
+
+@register("streaming_agg_maintenance", eager=True)  # rows-only: streaming op
+def q_streaming_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type aggregate maintained incrementally by foreachBatch
+    retract/assert deltas; the batch twin `cdc_incremental_agg` carries
+    the SQL oracle, and the slicing-invariance replay test closes the
+    loop (tests/test_streaming.py)."""
+    from wordcount_spark.streaming.streams import streaming_agg_maintenance
+
+    return streaming_agg_maintenance(spark, sf_dir)

@@ -26,8 +26,10 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 #: same flavor of vocabulary as the driver's synthetic documents table
@@ -120,3 +122,88 @@ class SynthDocsDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> SynthDocsStreamReader:
         return SynthDocsStreamReader(self.options)
+
+
+class _JsonlCommit(WriterCommitMessage):
+    """Per-task commit message: which temp file the task produced."""
+
+    def __init__(self, tmp_name: str, n_rows: int):
+        self.tmp_name, self.n_rows = tmp_name, n_rows
+
+
+class JsonlDirWriter(DataSourceWriter):
+    """Batch writer with the standard two-phase commit protocol: every
+    task writes to a uniquely-named ``*.tmp`` file and reports it in its
+    commit message; only the DRIVER's commit() makes data visible, by
+    renaming the temp files and writing a ``_MANIFEST`` listing them.
+    Readers trust the manifest alone, so a job that dies mid-write (or a
+    zombie task attempt racing a retry — each attempt has its own uuid)
+    leaves invisible garbage, never torn output. abort() sweeps the temp
+    files. This mirrors what Hadoop FileOutputCommitter v1 / Iceberg
+    snapshot commit do; at cluster scale the rename-based commit assumes
+    a filesystem with atomic rename (HDFS/local — for S3 you'd commit a
+    manifest pointing at the temp names instead of renaming)."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+        self.fail_partition = int(options.get("fail_partition", "-1"))
+
+    def write(self, rows: Iterator) -> "_JsonlCommit":
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        if pid == self.fail_partition:  # test hook: deterministic task failure
+            raise RuntimeError(f"injected failure in partition {pid}")
+        os.makedirs(self.path, exist_ok=True)
+        tmp = f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl.tmp"
+        n = 0
+        with open(os.path.join(self.path, tmp), "w") as f:
+            for row in rows:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _JsonlCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        final = []
+        total = 0
+        for m in messages:
+            name = m.tmp_name[: -len(".tmp")]
+            os.replace(
+                os.path.join(self.path, m.tmp_name),
+                os.path.join(self.path, name),
+            )
+            final.append({"file": name, "rows": m.n_rows})
+            total += m.n_rows
+        with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+            json.dump({"files": final, "total_rows": total}, f)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue  # failed task produced no commit message
+            try:
+                os.remove(os.path.join(self.path, m.tmp_name))
+            except FileNotFoundError:
+                pass
+
+
+class JsonlDirDataSource(DataSource):
+    """`df.write.format("jsonldir").option("path", d).mode("append").save()`
+    — manifest-committed JSON-lines directory sink (see JsonlDirWriter)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonldir"
+
+    def writer(self, schema, overwrite: bool) -> JsonlDirWriter:
+        return JsonlDirWriter(self.options, overwrite)

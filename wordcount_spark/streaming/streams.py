@@ -332,3 +332,85 @@ def streaming_incremental_merge(
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
     ).orderBy("user_id")
+
+
+def streaming_agg_maintenance(
+    spark: SparkSession, src_dir: str, path_glob: str = "events.parquet"
+) -> DataFrame:
+    """Incremental view maintenance as a stream: ``foreachBatch`` keeps
+    BOTH the latest-per-user row state and the per-event_type
+    (n_users, total_value) aggregate current, applying each micro-batch
+    as retract/assert deltas (``operators/queries_cdc.apply_agg_deltas``)
+    instead of re-aggregating the state table.
+
+    Version order (ts, event_id) — not arrival order — decides which
+    batch rows WIN against current state; losers produce no delta and
+    never touch state, so the final aggregate is invariant to micro-batch
+    slicing (proven in tests/test_streaming.py against the declarative
+    batch recompute). Per batch the work is: batch-local top-1 window,
+    one join against |keys|-sized state, group-count-sized delta merge —
+    nothing proportional to history. This is `cdc_incremental_agg`'s
+    refresh loop running forever."""
+    from pyspark.sql import Window
+
+    from wordcount_spark.operators.queries_cdc import (
+        agg_of_state,
+        apply_agg_deltas,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = _normalize_ts(
+        _stream_table(spark, src_dir, "events", path_glob=path_glob)
+    )
+    changelog = raw.select("user_id", "event_id", "ts", "event_type", "value")
+
+    def as_state(df: DataFrame) -> DataFrame:
+        return df.select(
+            "user_id",
+            "event_type",
+            F.col("value").cast("decimal(18,2)").alias("val"),
+        )
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    empty = spark.createDataFrame([], changelog.schema)
+    state: dict[str, DataFrame] = {
+        "rows": empty,
+        "agg": agg_of_state(as_state(empty)).localCheckpoint(eager=True),
+    }
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        b = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        st = state["rows"]
+        sv = st.select(
+            "user_id", F.struct("ts", "event_id").alias("__sv")
+        )
+        winners = (
+            b.alias("b")
+            .join(sv, "user_id", "left")
+            .filter(
+                F.col("__sv").isNull()
+                | (F.struct(F.col("b.ts"), F.col("b.event_id")) > F.col("__sv"))
+            )
+            .select("user_id", "event_id", "ts", "event_type", "value")
+        )
+        state["agg"] = apply_agg_deltas(
+            state["agg"], as_state(st), as_state(winners)
+        ).localCheckpoint(eager=True)
+        state["rows"] = (
+            st.unionByName(winners)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .localCheckpoint(eager=True)
+        )
+
+    q = changelog.writeStream.foreachBatch(apply_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return state["agg"].orderBy("event_type")
