@@ -56,3 +56,36 @@ def test_chunker_matches_model(spark, docs):
         for (idx, start, nt, h) in model_chunks(toks_list)
     }
     assert got_set == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=40)
+)
+def test_pack_fragments_tile_property(spark, token_counts):
+    """Property: for ANY doc-length profile, packing fragments (a) conserve
+    each doc's token count, (b) fill every sequence to PACK_C except the
+    last, (c) start at offset = running-total mod PACK_C."""
+    from wordcount_spark.operators.queries_llmprep import PACK_C, pack_fragments
+
+    rows = [
+        (i, " ".join(["w"] * n) if n else "") for i, n in enumerate(token_counts)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    frags = pack_fragments(docs).collect()
+
+    per_doc: dict[int, int] = {}
+    per_seq: dict[int, int] = {}
+    for r in frags:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.n_toks
+        per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + r.n_toks
+    assert per_doc == {
+        i: n for i, n in enumerate(token_counts) if n > 0
+    }
+    if per_seq:
+        last = max(per_seq)
+        assert all(
+            tot == PACK_C for s, tot in per_seq.items() if s != last
+        )
+        total = sum(token_counts)
+        assert per_seq[last] == total - last * PACK_C

@@ -595,3 +595,57 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ida", "idb")
     )
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS ida, b.id AS idb, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    pairs AS (
+      SELECT ida, idb FROM common
+      JOIN sizes sa ON sa.id = ida JOIN sizes sb ON sb.id = idb
+      WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+    ),
+    sym AS (
+      SELECT ida AS a, idb AS b FROM pairs
+      UNION SELECT idb, ida FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+    )
+    SELECT a AS doc_id, min(b) AS component
+    FROM reach GROUP BY a ORDER BY doc_id
+    """,
+    eager=True,  # iterative label propagation drives jobs at build time
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → dedup CLUSTERS: connected components over the
+    3-gram-Jaccard ≥ 0.5 edge set, component label = min reachable doc_id
+    (the id every dedup survivor policy keys on). The Spark side runs
+    min-label propagation (operators/components.py — O(log diameter)
+    join rounds, lineage truncated per round); the oracle computes the
+    same labels as a RECURSIVE-CTE transitive closure — an independent
+    algorithm, tractable because near-dup components are short chains.
+
+    Scale: each propagation round is one edge⋈label shuffle + one min
+    aggregation; the closure-style oracle would be O(component²) rows and
+    is exactly what you DON'T run at 100 TB — that asymmetry (iterate on
+    the engine, close on the oracle) is the point of the check.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from wordcount_spark.operators.components import connected_components
+
+    pairs = jaccard_pairs(doc_shingles(docs), 0.5).select("ida", "idb")
+    return (
+        connected_components(pairs)
+        .select(F.col("id").alias("doc_id"), "component")
+        .orderBy("doc_id")
+    )

@@ -1006,3 +1006,46 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w1", "w2")
     )
+
+
+@register(
+    "sample_fixed_per_group",
+    """
+    SELECT lang, doc_id
+    FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) t
+    WHERE rn <= 5
+    ORDER BY lang, doc_id
+    """,
+)
+def sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE deterministic sampling per stratum — exactly 5 docs per
+    language, selected by md5(doc_id) order (a seedless shuffle that every
+    engine, retry, and partitioning reproduces). This is the eval-set
+    carving step: fraction-based sampling (`sample_stratified_hash`) gives
+    proportional samples, but human-review and benchmark sets need an
+    exact per-stratum count regardless of stratum size.
+
+    Scale: one shuffle on the stratum key; the per-group ORDER BY runs
+    within each group's partition, not globally. Fine for bounded-size
+    strata (languages, sources); for a stratum so large its sort spills,
+    pre-filter with an approximate hash-percentile cut first, then rank
+    only the surviving sliver. The hash tiebreak (doc_id) makes the pick
+    total-ordered even under (theoretical) md5 collisions.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
