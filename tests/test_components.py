@@ -58,3 +58,56 @@ def test_dedup_survivors_flow(spark, sf_dir):
     assert n_docs - n_pairs <= n_surv < n_docs or n_pairs == 0
     # survivors are unique and subset of doc ids
     assert survivors.distinct().count() == n_surv
+
+
+def test_star_components_match_union_find(spark):
+    from wordcount_spark.operators.components import connected_components_star
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (3, 4), (40, 41)]
+    df = spark.createDataFrame(edges, ["ida", "idb"])
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_star(df).collect()
+    }
+    assert got == _union_find(edges)
+
+
+def test_star_components_long_chain_few_rounds(spark):
+    """The O(log n) claim, observed: a 60-node chain (diameter 59, which
+    the one-hop variant needs ~60 rounds for) must converge within the
+    default 20 alternating rounds — and produce the same labels."""
+    from wordcount_spark.operators.components import connected_components_star
+
+    chain = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(chain, ["ida", "idb"])
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_star(df, max_rounds=20).collect()
+    }
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_star_components_random_graphs_match_one_hop(spark):
+    """Differential: star contraction and one-hop propagation must agree
+    on seeded random graphs (mixed component shapes, shuffled ids)."""
+    import random
+
+    from wordcount_spark.operators.components import connected_components_star
+
+    rng = random.Random(7)
+    ids = list(range(200))
+    rng.shuffle(ids)
+    edges = [
+        (ids[rng.randrange(200)], ids[rng.randrange(200)]) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["ida", "idb"])
+    one_hop = {
+        r["id"]: r["component"]
+        for r in connected_components(df, max_iter=100).collect()
+    }
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components_star(df).collect()
+    }
+    assert star == one_hop == _union_find(edges)

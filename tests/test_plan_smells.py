@@ -27,6 +27,7 @@ BNLJ_OK = {
     # max source count onto the per-source weight table)
     "graph_triangle_count",
     "text_pmi_bigrams",
+    "text_bigram_logprob",
     "mix_epoch_repeats",
 }
 

@@ -181,3 +181,33 @@ def test_jsonldir_writer_abort_leaves_nothing_visible(spark, tmp_path):
     assert not [
         n for n in os.listdir(out) if n.endswith(".jsonl")
     ] if os.path.exists(out) else True
+
+
+def test_jsonldir_append_merges_manifest_overwrite_replaces(spark, tmp_path):
+    """Second append must MERGE into the manifest (no committed file ever
+    drops out); overwrite must replace both manifest and data files."""
+    import json
+    import os
+
+    from wordcount_spark.sources.pydatasource import JsonlDirDataSource
+
+    spark.dataSource.register(JsonlDirDataSource)
+    out = str(tmp_path / "sink")
+
+    def manifest():
+        return json.load(open(os.path.join(out, "_MANIFEST")))
+
+    df1 = spark.range(0, 10, 1, 2).selectExpr("id")
+    df2 = spark.range(10, 30, 1, 2).selectExpr("id")
+    df1.write.format("jsonldir").option("path", out).mode("append").save()
+    df2.write.format("jsonldir").option("path", out).mode("append").save()
+    m = manifest()
+    assert m["total_rows"] == 30 and len(m["files"]) == 4
+
+    df3 = spark.range(100, 105, 1, 1).selectExpr("id")
+    df3.write.format("jsonldir").option("path", out).mode("overwrite").save()
+    m = manifest()
+    assert m["total_rows"] == 5 and len(m["files"]) == 1
+    # old data files are gone from disk, not just from the manifest
+    on_disk = [n for n in os.listdir(out) if n.endswith(".jsonl")]
+    assert sorted(on_disk) == sorted(e["file"] for e in m["files"])

@@ -630,8 +630,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS → dedup CLUSTERS: connected components over the
     3-gram-Jaccard ≥ 0.5 edge set, component label = min reachable doc_id
     (the id every dedup survivor policy keys on). The Spark side runs
-    min-label propagation (operators/components.py — O(log diameter)
-    join rounds, lineage truncated per round); the oracle computes the
+    min-label propagation (operators/components.py — O(diameter) join
+    rounds, raising if the cap is hit, lineage truncated per round); the
+    oracle computes the
     same labels as a RECURSIVE-CTE transitive closure — an independent
     algorithm, tractable because near-dup components are short chains.
 

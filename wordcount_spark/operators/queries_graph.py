@@ -209,6 +209,19 @@ def _undirected_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("e.u", "e.v").distinct()
 
 
+def _degrees(und: DataFrame) -> DataFrame:
+    """(u, v) undirected edges → (node, d) degree table — the one shared
+    definition the degree distribution, triangle orientation, and k-core
+    peel all hang off (a drifted copy would silently desynchronize the
+    orientation from the distribution)."""
+    return (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+
+
 _UND_SQL = """
     po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     und AS (
@@ -241,12 +254,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: edges → one union-all projection → two narrow aggregations; the
     histogram is tiny (distinct degrees ≪ |V|)."""
     und = _undirected_copurchase(spark, sf_dir)
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-    )
+    deg = _degrees(und)
     return (
         deg.groupBy(F.col("d").alias("degree"))
         .agg(F.count("*").alias("n_nodes"))
@@ -304,12 +312,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithms must agree, which is the point.
     """
     und = _undirected_copurchase(spark, sf_dir)
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-    )
+    deg = _degrees(und)
     # orient: src = lower (degree, id) endpoint; struct comparison gives the
     # lexicographic (d, node) order in both engines
     du, dv = deg.alias("du"), deg.alias("dv")
@@ -384,13 +387,9 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     und = _undirected_copurchase(spark, sf_dir).localCheckpoint(eager=True)
     edges = und  # both directions counted via the union below
-    for _ in range(30):  # cap; peel converges in ≪30 rounds in practice
-        deg = (
-            edges.select(F.col("u").alias("node"))
-            .unionAll(edges.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count("*").alias("d"))
-        )
+    converged = False
+    for _ in range(30):  # safety cap; peel converges in ≪30 rounds in practice
+        deg = _degrees(edges)
         keep = deg.where(F.col("d") >= _KCORE_K).select("node")
         pruned = (
             edges.join(
@@ -401,12 +400,17 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         if pruned.count() == edges.count():
+            converged = True
             break
         edges = pruned
+    if not converged:
+        # an unconverged peel is NOT a k-core (sub-k nodes survive) —
+        # failing loudly beats silently returning a wrong subgraph
+        raise RuntimeError(
+            "k-core peel did not reach fixpoint in 30 rounds; raise the cap"
+        )
     return (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("core_degree"))
+        _degrees(edges)
+        .select("node", F.col("d").alias("core_degree"))
         .orderBy("node")
     )

@@ -1049,3 +1049,93 @@ def sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
     )
+
+
+@register(
+    "text_bigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    model1 AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    nu AS (SELECT CAST(sum(c) AS DOUBLE) AS n_uni FROM model1),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+             unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+      FROM toks
+    ),
+    model2 AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY w1, w2)
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(-avg(ln(
+             0.7 * (m2.c_ab / m1.c) + 0.3 * (mb.c / n_uni)
+           )), 4) + 0.0 AS avg_neg_logprob
+    FROM bg
+    JOIN model2 m2 USING (w1, w2)
+    JOIN model1 m1 ON m1.w = bg.w1
+    JOIN model1 mb ON mb.w = bg.w2
+    CROSS JOIN nu
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality score (the KenLM-filter stand-in,
+    one order up from ``text_unigram_logprob``): per document, the mean
+    negative log of p(w₂|w₁) = 0.7·MLE_bigram + 0.3·MLE_unigram — the
+    fixed-weight Jelinek-Mercer smoothing that keeps unseen-free corpora
+    finite (the corpus is its own training set, so every bigram has
+    c_ab ≥ 1 and the interpolation never hits zero).
+
+    Scale: both model tables are count-aggregates of the token stream
+    (Zipfian → vocab- and bigram-vocab-sized); the per-doc bigram stream
+    joins them map-side (broadcast). The bigram positions are produced
+    by PARALLEL unnest of two aligned list_transforms in DuckDB and one
+    zipped transform in Spark — identical adjacency either way. round(4)
+    absorbs ln() ulp + per-doc float-sum order drift; +0.0 canonicalizes
+    IEEE -0.0.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _toks(F.lower("text")).alias("t"))
+    uni = toks.select(F.explode("t").alias("w"))
+    # Vocab-cardinality session pin, accepted (Zipfian: small)
+    model1 = uni.groupBy("w").agg(F.count("*").alias("c")).cache()
+    n_uni = model1.agg(F.sum("c").cast("double").alias("n_uni"))
+    bg = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    model2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    p = F.lit(0.7) * (F.col("c_ab") / F.col("c")) + F.lit(0.3) * (
+        F.col("cb") / F.col("n_uni")
+    )
+    m1 = model1.alias("m1")
+    mb = model1.select(F.col("w").alias("wb"), F.col("c").alias("cb"))
+    return (
+        bg.join(F.broadcast(model2), ["w1", "w2"])
+        .join(F.broadcast(m1), F.col("m1.w") == F.col("w1"))
+        .join(F.broadcast(mb), F.col("wb") == F.col("w2"))
+        .crossJoin(F.broadcast(n_uni))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.round(-F.avg(F.log(p)), 4) + F.lit(0.0)).alias(
+                "avg_neg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -138,8 +138,12 @@ class JsonlDirWriter(DataSourceWriter):
     renaming the temp files and writing a ``_MANIFEST`` listing them.
     Readers trust the manifest alone, so a job that dies mid-write (or a
     zombie task attempt racing a retry — each attempt has its own uuid)
-    leaves invisible garbage, never torn output. abort() sweeps the temp
-    files. This mirrors what Hadoop FileOutputCommitter v1 / Iceberg
+    leaves invisible garbage, never torn output. The manifest write is
+    itself tmp+rename-atomic; ``append`` merges the new files into the
+    existing manifest, ``overwrite`` deletes the previously committed
+    files first. abort() sweeps the temp files, including orphans from
+    attempts that died before reporting (single-writer directory by
+    contract). This mirrors what Hadoop FileOutputCommitter v1 / Iceberg
     snapshot commit do; at cluster scale the rename-based commit assumes
     a filesystem with atomic rename (HDFS/local — for S3 you'd commit a
     manifest pointing at the temp names instead of renaming)."""
@@ -172,8 +176,22 @@ class JsonlDirWriter(DataSourceWriter):
         import json
         import os
 
-        final = []
-        total = 0
+        manifest_path = os.path.join(self.path, "_MANIFEST")
+        prior = []
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                prior = json.load(f)["files"]
+        if self.overwrite:
+            # overwrite: previously committed files leave the manifest AND
+            # the directory (a dropped manifest entry alone would strand
+            # orphans that confuse directory-listing consumers)
+            for entry in prior:
+                try:
+                    os.remove(os.path.join(self.path, entry["file"]))
+                except FileNotFoundError:
+                    pass
+            prior = []
+        final = list(prior)
         for m in messages:
             name = m.tmp_name[: -len(".tmp")]
             os.replace(
@@ -181,11 +199,17 @@ class JsonlDirWriter(DataSourceWriter):
                 os.path.join(self.path, name),
             )
             final.append({"file": name, "rows": m.n_rows})
-            total += m.n_rows
-        with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+        total = sum(e["rows"] for e in final)
+        # the manifest itself commits atomically: tmp + rename, the same
+        # medicine the data files get — a driver crash mid-commit leaves
+        # either the old manifest or the new one, never a torn file
+        mtmp = manifest_path + ".tmp"
+        with open(mtmp, "w") as f:
             json.dump({"files": final, "total_rows": total}, f)
+        os.replace(mtmp, manifest_path)
 
     def abort(self, messages) -> None:
+        import glob
         import os
 
         for m in messages:
@@ -193,6 +217,14 @@ class JsonlDirWriter(DataSourceWriter):
                 continue  # failed task produced no commit message
             try:
                 os.remove(os.path.join(self.path, m.tmp_name))
+            except FileNotFoundError:
+                pass
+        # sweep orphans from attempts that died before reporting a commit
+        # message (single-writer directory by contract — a concurrent
+        # job's in-flight temps would be swept too)
+        for orphan in glob.glob(os.path.join(self.path, "*.jsonl.tmp")):
+            try:
+                os.remove(orphan)
             except FileNotFoundError:
                 pass
 
