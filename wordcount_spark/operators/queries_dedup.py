@@ -630,8 +630,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS → dedup CLUSTERS: connected components over the
     3-gram-Jaccard ≥ 0.5 edge set, component label = min reachable doc_id
     (the id every dedup survivor policy keys on). The Spark side runs
-    min-label propagation (operators/components.py — O(diameter) join
-    rounds, raising if the cap is hit, lineage truncated per round); the
+    the large-star/small-star contraction (operators/components.py —
+    O(log n) alternating rounds, raising if the cap is hit; the one-hop
+    propagation variant is differentially tested against it); the
     oracle computes the
     same labels as a RECURSIVE-CTE transitive closure — an independent
     algorithm, tractable because near-dup components are short chains.
@@ -642,11 +643,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine, close on the oracle) is the point of the check.
     """
     docs = load_table(spark, sf_dir, "documents")
-    from wordcount_spark.operators.components import connected_components
+    from wordcount_spark.operators.components import connected_components_star
 
     pairs = jaccard_pairs(doc_shingles(docs), 0.5).select("ida", "idb")
     return (
-        connected_components(pairs)
+        connected_components_star(pairs)
         .select(F.col("id").alias("doc_id"), "component")
         .orderBy("doc_id")
     )

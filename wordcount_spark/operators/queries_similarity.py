@@ -445,3 +445,82 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, float(r)) for i, r in enumerate(ratios)],
         "component int, explained_variance_ratio double",
     ).orderBy("component")
+
+
+@register(
+    "similarity_knn_classify",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding, label AS true_label
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding, label
+          FROM embeddings WHERE vec_id >= 5),
+    sims AS (
+      SELECT q.qid, q.true_label, c.vec_id, c.label,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+             / ({_NORM_SQL.format(v="q.embedding")}
+                * {_NORM_SQL.format(v="c.embedding")}) AS cos
+      FROM q CROSS JOIN c
+    ),
+    topk AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY cos DESC, vec_id) AS rn
+        FROM sims) t WHERE rn <= 10
+    ),
+    votes AS (
+      SELECT qid, true_label, label, count(*) AS votes
+      FROM topk GROUP BY qid, true_label, label
+    )
+    SELECT qid, true_label, label AS pred_label, votes
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY votes DESC, label) AS rn
+          FROM votes) v
+    WHERE rn = 1 ORDER BY qid
+    """,
+)
+def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification (k=10, majority vote): the evaluation loop of
+    every embedding index — held-out queries (vec_id < 5) classified by
+    their neighbors' labels in the remaining corpus. Vote ties break
+    (count desc, label asc); neighbor ranking ties break on vec_id — both
+    total orders, and the cosine doubles are bit-identical across engines
+    (sequential fold, module docstring), so the oracle needs no tolerance.
+
+    Scale: the tiny query set broadcasts onto the corpus (the fact side
+    never shuffles); per-query top-k is a qid-partitioned window over the
+    candidate scores — fine for a handful of queries; for thousands,
+    switch to the matmul-pruned path of `similarity_multiquery_topk`, and
+    for ANN-scale corpora feed the classifier from `similarity_ivf_topk`
+    candidates instead of the exact scan.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("true_label"),
+    )
+    c = emb.where(F.col("vec_id") >= 5)
+    sims = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "true_label",
+        "vec_id",
+        "label",
+        cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+    topk = sims.withColumn("rn", F.row_number().over(w_rank)).where(
+        F.col("rn") <= 10
+    )
+    votes = topk.groupBy("qid", "true_label", "label").agg(
+        F.count("*").alias("votes")
+    )
+    w_vote = Window.partitionBy("qid").orderBy(F.desc("votes"), "label")
+    return (
+        votes.withColumn("rn", F.row_number().over(w_vote))
+        .where(F.col("rn") == 1)
+        .select("qid", "true_label", F.col("label").alias("pred_label"), "votes")
+        .orderBy("qid")
+    )
