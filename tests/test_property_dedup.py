@@ -133,3 +133,44 @@ def test_fast_signatures_equal_for_duplicate_docs(spark):
     assert sigs[1] == sigs[2]
     assert sigs[1] != sigs[3]
     assert all(0 <= v < _P for s in sigs.values() for v in s)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcxyz 0189", min_size=0, max_size=24),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_levenshtein_matches_python_dp(spark, strings):
+    """Spark's levenshtein (the dedup_edit_distance_blocked primitive) must
+    agree with a from-scratch Python DP on arbitrary ASCII pairs."""
+    from pyspark.sql import functions as F
+
+    def dp(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[len(b)]
+
+    pairs = [
+        (i, a, b)
+        for i, (a, b) in enumerate(
+            (x, y) for x in strings for y in strings
+        )
+    ]
+    df = spark.createDataFrame(pairs, ["i", "a", "b"])
+    got = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i", F.levenshtein("a", "b").alias("d")
+        ).collect()
+    }
+    want = {i: dp(a, b) for i, a, b in pairs}
+    assert got == want
