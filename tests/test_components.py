@@ -111,3 +111,21 @@ def test_star_components_random_graphs_match_one_hop(spark):
         for r in connected_components_star(df).collect()
     }
     assert star == one_hop == _union_find(edges)
+
+
+def test_star_components_keep_self_loop_nodes(spark):
+    """Contract parity: a node whose only edge is a self-loop is a
+    singleton component in BOTH variants (the star contraction must not
+    drop it when it filters self-loops from the working edge set)."""
+    from wordcount_spark.operators.components import connected_components_star
+
+    edges = [(5, 5), (1, 2)]
+    df = spark.createDataFrame(edges, ["ida", "idb"])
+    one_hop = {
+        r["id"]: r["component"] for r in connected_components(df).collect()
+    }
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components_star(df).collect()
+    }
+    assert star == one_hop == {1: 1, 2: 1, 5: 5}

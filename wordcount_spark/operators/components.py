@@ -113,19 +113,28 @@ def connected_components_star(
 
     Returns (id, component), nodes not in any edge absent — same contract
     as connected_components, which the differential test holds it to."""
+    both = edges.select(F.col("ida").alias("src"), F.col("idb").alias("dst")).union(
+        edges.select(F.col("idb").alias("src"), F.col("ida").alias("dst"))
+    )
+    # node set BEFORE dropping self-loops: a node whose only edge is a
+    # self-loop is still a (singleton) component — same contract as
+    # connected_components
+    nodes = both.select(F.col("src").alias("id")).distinct().localCheckpoint()
     sym = (
-        edges.select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
-        .union(edges.select(F.col("idb").alias("src"), F.col("ida").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
+        both.filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = sym.select(F.col("src").alias("id")).distinct().localCheckpoint()
     cur = sym
+    cur_count = cur.count()
+    if cur_count == 0:
+        # self-loop-only / empty input: every node is its own component
+        return nodes.select("id", F.col("id").alias("component"))
     for _ in range(max_rounds):
-        start = cur  # fixpoint = unchanged across the FULL L+S round: a
-        # set can be small-star-stable yet still move under large-star,
-        # so comparing the two half-round outputs is not a certificate
+        # fixpoint = unchanged across the FULL L+S round: a set can be
+        # small-star-stable yet still move under large-star, so comparing
+        # the two half-round outputs is not a certificate
+        start, start_count = cur, cur_count
         # large-star: (v, m) for v ∈ Γ(u), v > u, m = min(Γ(u) ∪ {u})
         mn = _min_neighbor(cur)
         large = (
@@ -141,8 +150,6 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        if cur.limit(1).count() == 0:
-            break  # only reachable for an empty input edge set
         # small-star: (v, m) for v ∈ Γ(u), v < u, plus (u, m)
         mn = _min_neighbor(cur)
         small = (
@@ -160,13 +167,16 @@ def connected_components_star(
             .localCheckpoint(eager=True)
         )
         # set equality via count + one anti-join probe (equal counts plus
-        # new ⊆ start ⇒ equal sets; counts alone can miss swaps)
+        # new ⊆ start ⇒ equal sets; counts alone can miss swaps). The
+        # start count is carried from the previous round — one count job
+        # per round, not two
+        new_count = new.count()
         same = (
-            new.count() == start.count()
+            new_count == start_count
             and new.join(start, ["src", "dst"], "left_anti").limit(1).count()
             == 0
         )
-        cur = new
+        cur, cur_count = new, new_count
         if same:
             break
     else:

@@ -181,17 +181,7 @@ class JsonlDirWriter(DataSourceWriter):
         if os.path.exists(manifest_path):
             with open(manifest_path) as f:
                 prior = json.load(f)["files"]
-        if self.overwrite:
-            # overwrite: previously committed files leave the manifest AND
-            # the directory (a dropped manifest entry alone would strand
-            # orphans that confuse directory-listing consumers)
-            for entry in prior:
-                try:
-                    os.remove(os.path.join(self.path, entry["file"]))
-                except FileNotFoundError:
-                    pass
-            prior = []
-        final = list(prior)
+        final = [] if self.overwrite else list(prior)
         for m in messages:
             name = m.tmp_name[: -len(".tmp")]
             os.replace(
@@ -207,6 +197,19 @@ class JsonlDirWriter(DataSourceWriter):
         with open(mtmp, "w") as f:
             json.dump({"files": final, "total_rows": total}, f)
         os.replace(mtmp, manifest_path)
+        if self.overwrite:
+            # superseded files are deleted only AFTER the new manifest is
+            # live: a crash anywhere above leaves the OLD manifest with
+            # every file it lists intact; a crash below leaves invisible
+            # garbage (files no manifest references), never torn output
+            kept = {e["file"] for e in final}
+            for entry in prior:
+                if entry["file"] in kept:
+                    continue
+                try:
+                    os.remove(os.path.join(self.path, entry["file"]))
+                except FileNotFoundError:
+                    pass
 
     def abort(self, messages) -> None:
         import glob
@@ -222,7 +225,9 @@ class JsonlDirWriter(DataSourceWriter):
         # sweep orphans from attempts that died before reporting a commit
         # message (single-writer directory by contract — a concurrent
         # job's in-flight temps would be swept too)
-        for orphan in glob.glob(os.path.join(self.path, "*.jsonl.tmp")):
+        for orphan in glob.glob(
+            os.path.join(glob.escape(self.path), "*.jsonl.tmp")
+        ):
             try:
                 os.remove(orphan)
             except FileNotFoundError:
