@@ -15,6 +15,7 @@ from wordcount_spark.plans.explain import formatted_plan
 BNLJ_OK = {
     "similarity_topk_bruteforce",
     "similarity_knn_classify",  # 5-row broadcast query-vector fan-out
+    "pipeline_rag_corpus",  # 3-row broadcast query-vector fan-out
     "similarity_ivf_topk",
     "q22_sales_opportunity",
     "q11_important_stock",

@@ -651,3 +651,110 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), "component")
         .orderBy("doc_id")
     )
+
+
+def _register_pipeline_rag():
+    """Closure so the oracle can bake in the chunking stride and the
+    64-dim norm SQL shared with the similarity module."""
+    from wordcount_spark.operators.queries_llmprep import CHUNK_S
+    from wordcount_spark.operators.queries_similarity import _NORM_SQL
+
+    oracle = f"""
+    WITH survivors AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents) t WHERE rn = 1
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+                         x -> x <> '') AS tk
+      FROM survivors
+    ),
+    chunks AS (
+      SELECT doc_id, count(*) AS n_chunks
+      FROM (SELECT doc_id,
+                   unnest(generate_series(0, len(tk) - 1, {CHUNK_S})) AS s
+            FROM toks WHERE len(tk) > 0) c
+      GROUP BY doc_id
+    ),
+    corpus AS (
+      SELECT ch.doc_id, ch.n_chunks, e.embedding
+      FROM chunks ch JOIN embeddings e ON e.vec_id = ch.doc_id
+    ),
+    q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 3),
+    sims AS (
+      SELECT q.qid, corpus.doc_id, corpus.n_chunks,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(q.embedding[i] AS DOUBLE)
+                    * CAST(corpus.embedding[i] AS DOUBLE)))
+             / ({_NORM_SQL.format(v="q.embedding")}
+                * {_NORM_SQL.format(v="corpus.embedding")}) AS cos
+      FROM q CROSS JOIN corpus
+    )
+    SELECT qid, rn AS rank, doc_id, n_chunks, cos
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos DESC, doc_id) AS rn
+          FROM sims) r
+    WHERE rn <= 5 ORDER BY qid, rank
+    """
+
+    @register("pipeline_rag_corpus", oracle)
+    def pipeline_rag_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Retrieval-index build + query eval, composed from shipped
+        operators: exact-dedup survivors → token-window chunking (the
+        REAL chunk_windows operator, counted per doc as the provenance
+        payload a serving layer returns) → embedding attach by doc id →
+        top-5 cosine retrieval for a held-out query set, deterministic
+        tiebreaks throughout. The oracle replays all four stages in SQL,
+        so the composition — not just the pieces — is hash-checked.
+
+        Scale: dedup is one content-hash shuffle; chunk counting is a
+        narrow explode + doc-keyed agg; the embedding attach is a 1:1 id
+        join (bucketable); retrieval broadcasts the query set so the
+        corpus never shuffles (for real query volumes, swap in the
+        pruned `similarity_multiquery_topk` path or an IVF candidate
+        feed — same composition, different last stage).
+        """
+        from pyspark.sql import Window
+
+        from wordcount_spark.operators.queries_llmprep import chunk_windows
+        from wordcount_spark.operators.queries_similarity import cosine
+
+        docs = load_table(spark, sf_dir, "documents")
+        w_dedup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        survivors = (
+            docs.withColumn("rn", F.row_number().over(w_dedup))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "text")
+        )
+        toks = survivors.select(
+            "doc_id", F.filter(F.split("text", r"\s+"), lambda t: t != F.lit("")).alias("toks")
+        )
+        chunks = chunk_windows(toks).groupBy("doc_id").agg(
+            F.count("*").alias("n_chunks")
+        )
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = chunks.join(emb, chunks.doc_id == emb.vec_id).select(
+            "doc_id", "n_chunks", "embedding"
+        )
+        q = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+        )
+        sims = corpus.crossJoin(F.broadcast(q)).select(
+            "qid",
+            "doc_id",
+            "n_chunks",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+        w_rank = Window.partitionBy("qid").orderBy(F.desc("cos"), "doc_id")
+        return (
+            sims.withColumn("rank", F.row_number().over(w_rank))
+            .where(F.col("rank") <= 5)
+            .select("qid", "rank", "doc_id", "n_chunks", "cos")
+            .orderBy("qid", "rank")
+        )
+
+
+_register_pipeline_rag()
