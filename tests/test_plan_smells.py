@@ -31,6 +31,8 @@ BNLJ_OK = {
     "text_pmi_bigrams",
     "text_bigram_logprob",
     "mix_epoch_repeats",
+    "mix_temperature_weights",
+    "curriculum_quality_buckets",
 }
 
 # streaming / iterative queries execute eagerly inside the callable —
