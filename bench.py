@@ -116,14 +116,21 @@ def main() -> None:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
-            wc = count_words(load_text_corpus(spark, paths), "text", mode="head")
-            wc.write.format("noop").mode("overwrite").save()
+            # rebuild the DataFrame inside every timed run (CLAUDE.md
+            # benchmark rule: plan construction and file listing are part
+            # of the measured job)
+            def run_wc(path_list):
+                t0 = time.monotonic()
+                count_words(
+                    load_text_corpus(spark, path_list), "text", mode="head"
+                ).write.format("noop").mode("overwrite").save()
+                return time.monotonic() - t0
+
+            run_wc(paths)  # warm: JIT/codegen
             best = float("inf")
             for _ in range(4):  # best-of-4: the floor is the signal, the
                 # rest is scheduler/GC noise on a shared box
-                t0 = time.monotonic()
-                wc.write.format("noop").mode("overwrite").save()
-                best = min(best, time.monotonic() - t0)
+                best = min(best, run_wc(paths))
             out["reference_corpus_mb_per_sec"] = round(nbytes / 1e6 / best, 2)
             # same pipeline at 8x the corpus (each path listed 8 times —
             # same bytes scanned as a physically replicated corpus, no
@@ -138,15 +145,10 @@ def main() -> None:
                 128 * 1024 * 1024,
             )
             spark.conf.set("spark.sql.files.maxPartitionBytes", str(split8))
-            wc8 = count_words(
-                load_text_corpus(spark, paths * 8), "text", mode="head"
-            )
-            wc8.write.format("noop").mode("overwrite").save()
+            run_wc(paths * 8)  # warm
             best8 = float("inf")
-            for _ in range(2):
-                t0 = time.monotonic()
-                wc8.write.format("noop").mode("overwrite").save()
-                best8 = min(best8, time.monotonic() - t0)
+            for _ in range(4):
+                best8 = min(best8, run_wc(paths * 8))
             out["reference_corpus_8x_mb_per_sec"] = round(
                 nbytes * 8 / 1e6 / best8, 2
             )

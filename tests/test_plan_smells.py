@@ -31,6 +31,8 @@ BNLJ_OK = {
     "text_pmi_bigrams",
     "text_bigram_logprob",
     "mix_epoch_repeats",
+    # 1-row normalizer frames fanned onto group-count-sized tables (the
+    # sqrt-sum/total pair; the three percentile cut points)
     "mix_temperature_weights",
     "curriculum_quality_buckets",
 }

@@ -5,8 +5,9 @@ I/O floor) and report the wall-clock growth ratio per pipeline.
 Sub-linear-to-linear growth at Nx data on fixed cores is the local-mode
 evidence that plans carry no hidden quadratic/size-dependent bottleneck;
 a super-linear ratio flags a shuffle or state blow-up long before a
-cluster run would. Run: ``python tools/scale_check.py [N]`` (default 20)
-— writes SCALE_CHECK.json at the repo root.
+cluster run would. Run: ``python tools/scale_check.py [N]`` (default 50,
+matching the committed artifact) — writes SCALE_CHECK.json at the repo
+root.
 """
 
 from __future__ import annotations
@@ -123,7 +124,7 @@ def pipelines():
 
 
 def main() -> None:
-    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 50
 
     from wordcount_spark.session import get_spark
     from wordcount_spark.sources.pydatasource import SynthDocsDataSource

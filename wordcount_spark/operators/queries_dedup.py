@@ -658,7 +658,9 @@ def _register_pipeline_rag():
     64-dim norm SQL shared with the similarity module."""
     from wordcount_spark.operators.queries_llmprep import CHUNK_S
     from wordcount_spark.operators.queries_similarity import _NORM_SQL
+    from wordcount_spark.operators.queries_textstats import _TOKS_SQL, _toks
 
+    tok_sql = _TOKS_SQL
     oracle = f"""
     WITH survivors AS (
       SELECT doc_id, text FROM (
@@ -667,9 +669,7 @@ def _register_pipeline_rag():
         FROM documents) t WHERE rn = 1
     ),
     toks AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
-                         x -> x <> '') AS tk
+      SELECT doc_id, list_filter({tok_sql}, x -> x <> '') AS tk
       FROM survivors
     ),
     chunks AS (
@@ -729,9 +729,7 @@ def _register_pipeline_rag():
             .filter(F.col("rn") == 1)
             .select("doc_id", "text")
         )
-        toks = survivors.select(
-            "doc_id", F.filter(F.split("text", r"\s+"), lambda t: t != F.lit("")).alias("toks")
-        )
+        toks = survivors.select("doc_id", _toks().alias("toks"))
         chunks = chunk_windows(toks).groupBy("doc_id").agg(
             F.count("*").alias("n_chunks")
         )

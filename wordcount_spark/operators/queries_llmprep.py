@@ -785,25 +785,12 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "curriculum_quality_buckets",
-    """
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
-                         x -> x <> '') AS t
-      FROM documents
-    ),
-    uni AS (SELECT unnest(t) AS w FROM toks),
-    model AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
-    nu AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM model),
-    scored AS (
-      SELECT doc_id,
-             ln((SELECT n FROM nu)) - avg(ln(CAST(c AS DOUBLE))) AS score
-      FROM (SELECT doc_id, unnest(t) AS w FROM toks) d
-      JOIN model USING (w)
-      GROUP BY doc_id
-    ),
+def _register_curriculum():
+    """Closure: the oracle composes the SHARED unigram-score SQL chain."""
+    from wordcount_spark.operators.queries_textstats import unigram_score_sql
+
+    oracle = f"""
+    WITH {unigram_score_sql('lower(text)')},
     cuts AS (
       SELECT quantile_cont(score, 0.25) AS c1,
              quantile_cont(score, 0.5) AS c2,
@@ -817,56 +804,56 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(max(score), 4) AS max_score
     FROM scored CROSS JOIN cuts
     GROUP BY bucket ORDER BY bucket
-    """,
-)
-def curriculum_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Curriculum carving: documents scored by the unigram-LM quality
-    signal (ln N − avg ln c, as in ``text_unigram_logprob``) and cut into
-    quartile buckets — bucket 1 = most-typical text first, bucket 4 =
-    rare-token tail last, the easy→hard schedule a curriculum dataloader
-    consumes. Output is the per-bucket audit (counts + score ranges).
-
-    Scale: the bucket assignment is the TWO-PASS quantile cut, not a
-    global ntile window (the one-partition-sort trap, SURVEY §7 risk 2):
-    pass 1 computes three exact interpolated percentiles (one tiny
-    aggregate; swap in approx_percentile at extreme doc counts), pass 2
-    is a narrow per-row comparison against the broadcast cut points —
-    no global sort anywhere. Spark ``percentile`` and DuckDB
-    ``quantile_cont`` share the interpolation definition (the
-    agg_percentiles precedent), so the cut points hash-match; round(4)
-    on the score bounds absorbs ln() ulp drift.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", _toks(F.lower("text")).alias("t"))
-    uni = toks.select("doc_id", F.explode("t").alias("w"))
-    # Vocab-cardinality session pin, accepted (Zipfian: small)
-    model = uni.groupBy("w").agg(F.count("*").alias("c")).cache()
-    total = model.agg(F.log(F.sum("c").cast("double")).alias("ln_n"))
-    scored = (
-        uni.join(F.broadcast(model), "w")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id", "ln_n")
-        .agg(F.avg(F.log(F.col("c").cast("double"))).alias("avg_ln_c"))
-        .select("doc_id", (F.col("ln_n") - F.col("avg_ln_c")).alias("score"))
-    )
-    cuts = scored.agg(
-        F.expr("percentile(score, 0.25)").alias("c1"),
-        F.expr("percentile(score, 0.5)").alias("c2"),
-        F.expr("percentile(score, 0.75)").alias("c3"),
-    )
-    bucket = (
-        F.lit(1)
-        + (F.col("score") > F.col("c1")).cast("int")
-        + (F.col("score") > F.col("c2")).cast("int")
-        + (F.col("score") > F.col("c3")).cast("int")
-    )
-    return (
-        scored.crossJoin(F.broadcast(cuts))
-        .groupBy(bucket.alias("bucket"))
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.round(F.min("score"), 4).alias("min_score"),
-            F.round(F.max("score"), 4).alias("max_score"),
+
+    @register("curriculum_quality_buckets", oracle)
+    def curriculum_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Curriculum carving: documents scored by the unigram-LM quality
+        signal (ln N − avg ln c, via the SHARED unigram_logprob_scores
+        helper, lowercased variant) and cut into quartile buckets —
+        bucket 1 = most-typical text first, bucket 4 = rare-token tail
+        last, the easy→hard schedule a curriculum dataloader consumes.
+        Output is the per-bucket audit (counts + score ranges).
+
+        Scale: the bucket assignment is the TWO-PASS quantile cut, not a
+        global ntile window (the one-partition-sort trap, SURVEY §7 risk
+        2): pass 1 computes three exact interpolated percentiles (one
+        tiny aggregate; swap in approx_percentile at extreme doc counts),
+        pass 2 is a narrow per-row comparison against the broadcast cut
+        points — no global sort anywhere. Spark ``percentile`` and DuckDB
+        ``quantile_cont`` share the interpolation definition (the
+        agg_percentiles precedent), so the cut points hash-match;
+        round(4) on the score bounds absorbs ln() ulp drift.
+        """
+        from wordcount_spark.operators.queries_textstats import (
+            unigram_logprob_scores,
         )
-        .orderBy("bucket")
-    )
+
+        docs = load_table(spark, sf_dir, "documents")
+        scored = unigram_logprob_scores(docs, lowercase=True).select(
+            "doc_id", "score"
+        )
+        cuts = scored.agg(
+            F.expr("percentile(score, 0.25)").alias("c1"),
+            F.expr("percentile(score, 0.5)").alias("c2"),
+            F.expr("percentile(score, 0.75)").alias("c3"),
+        )
+        bucket = (
+            F.lit(1)
+            + (F.col("score") > F.col("c1")).cast("int")
+            + (F.col("score") > F.col("c2")).cast("int")
+            + (F.col("score") > F.col("c3")).cast("int")
+        )
+        return (
+            scored.crossJoin(F.broadcast(cuts))
+            .groupBy(bucket.alias("bucket"))
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.round(F.min("score"), 4).alias("min_score"),
+                F.round(F.max("score"), 4).alias("max_score"),
+            )
+            .orderBy("bucket")
+        )
+
+
+_register_curriculum()

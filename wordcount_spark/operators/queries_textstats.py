@@ -735,41 +735,14 @@ def text_charset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_unigram_logprob",
-    """
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS tok
-      FROM documents
-    ),
-    model AS (SELECT tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY tok),
-    total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM model)
-    SELECT doc_id,
-           count(*) AS n_tokens,
-           round(ln((SELECT n FROM total)) - avg(ln(CAST(c AS DOUBLE))), 4)
-             AS avg_neg_logprob
-    FROM toks JOIN model USING (tok)
-    GROUP BY doc_id
-    ORDER BY doc_id
-    """,
-)
-def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perplexity-proxy quality signal: each document's mean negative log
-    probability under the corpus's own unigram MLE model (the cheap stand-in
-    for a KenLM filter in an LLM curation pipeline — high score = tokens the
-    corpus rarely uses).
-
-    avg(-ln(c_w/N)) = ln(N) - avg(ln(c_w)), so the model join carries only
-    the raw count: one vocab-sized aggregate (Zipfian → small; broadcast),
-    one map-side model join back onto the token stream (no token shuffle),
-    one doc-keyed agg. At 100 TB the model frame is ~vocab × 16 B — still
-    broadcastable for natural language; if not, it becomes the one extra
-    shuffle. round(4) absorbs libm ln() last-ulp + float-sum-order noise
-    between engines.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def unigram_logprob_scores(docs: DataFrame, lowercase: bool = False) -> DataFrame:
+    """(doc_id, n_tokens, score): each doc's mean negative log probability
+    under the corpus's own unigram MLE model — the SINGLE source of the
+    scoring pipeline (text_unigram_logprob and curriculum_quality_buckets
+    both consume it, so they cannot drift; chunk_windows precedent)."""
+    text = F.lower("text") if lowercase else F.col("text")
     toks = docs.select(
-        "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
+        "doc_id", F.explode(F.split(text, r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
     # cached: the broadcast join probe and the ln(N) total both read the
     # model; without the cache each branch re-runs the vocab aggregation.
@@ -787,7 +760,59 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            F.round(F.col("ln_n") - F.col("avg_ln_c"), 4).alias("avg_neg_logprob"),
+            (F.col("ln_n") - F.col("avg_ln_c")).alias("score"),
+        )
+    )
+
+
+def unigram_score_sql(text_expr: str) -> str:
+    """DuckDB CTE chain mirroring unigram_logprob_scores (ends in a
+    `scored(doc_id, n_tokens, score)` CTE; compose with WITH ... prefix)."""
+    return f"""
+    toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex({text_expr}, '[ \t\n\x0b\f\r]+')) AS tok
+      FROM documents
+    ),
+    model AS (SELECT tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY tok),
+    total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM model),
+    scored AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             ln((SELECT n FROM total)) - avg(ln(CAST(c AS DOUBLE))) AS score
+      FROM toks JOIN model USING (tok)
+      GROUP BY doc_id
+    )"""
+
+
+@register(
+    "text_unigram_logprob",
+    f"""
+    WITH {unigram_score_sql('text')}
+    SELECT doc_id, n_tokens, round(score, 4) AS avg_neg_logprob
+    FROM scored ORDER BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality signal: each document's mean negative log
+    probability under the corpus's own unigram MLE model (the cheap stand-in
+    for a KenLM filter in an LLM curation pipeline — high score = tokens the
+    corpus rarely uses).
+
+    avg(-ln(c_w/N)) = ln(N) - avg(ln(c_w)), so the model join carries only
+    the raw count: one vocab-sized aggregate (Zipfian → small; broadcast),
+    one map-side model join back onto the token stream (no token shuffle),
+    one doc-keyed agg. At 100 TB the model frame is ~vocab × 16 B — still
+    broadcastable for natural language; if not, it becomes the one extra
+    shuffle. round(4) absorbs libm ln() last-ulp + float-sum-order noise
+    between engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        unigram_logprob_scores(docs)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("score", 4).alias("avg_neg_logprob"),
         )
         .orderBy("doc_id")
     )
