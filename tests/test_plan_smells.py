@@ -5,6 +5,8 @@ correctness — this test makes plan regressions un-mergeable."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from wordcount_spark.plans.explain import formatted_plan
@@ -32,9 +34,12 @@ BNLJ_OK = {
     "text_bigram_logprob",
     "mix_epoch_repeats",
     # 1-row normalizer frames fanned onto group-count-sized tables (the
-    # sqrt-sum/total pair; the three percentile cut points)
+    # sqrt-sum/total pair; the three percentile cut points; the global
+    # min-stratum-count scalar)
     "mix_temperature_weights",
     "curriculum_quality_buckets",
+    "mix_rebalance_to_min",
+    "pipeline_pretrain_full",
 }
 
 # streaming / iterative queries execute eagerly inside the callable —
@@ -54,6 +59,24 @@ def pytest_generate_tests(metafunc):
         metafunc.parametrize("plan_query", sorted(set(_registry()) - SKIP))
 
 
+# queries allowed to run a window with NO partition spec (every window
+# funnels through ONE task — a 100 TB outage unless the input frame is
+# already tiny). Keep empty unless a global frame over an O(groups)
+# aggregate is genuinely the right plan; comment the justification.
+GLOBAL_WINDOW_OK: set[str] = set()
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """windowspecdefinition(...) whose args before specifiedwindowframe are
+    only ORDER-BY tokens (or nothing) — i.e. no partition columns."""
+    hits = []
+    for m in re.finditer(r"windowspecdefinition\((.*?)specifiedwindowframe", plan):
+        head = [t.strip() for t in m.group(1).split(",") if t.strip()]
+        if all(" ASC" in t or " DESC" in t for t in head):  # empty head ⇒ all() is True
+            hits.append(m.group(0)[:80])
+    return hits
+
+
 def test_no_plan_smells(spark, plan_query):
     df = _registry()[plan_query](spark, "/root/testdata/sf0.001")
     plan = formatted_plan(df)
@@ -61,4 +84,10 @@ def test_no_plan_smells(spark, plan_query):
     if plan_query not in BNLJ_OK:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{plan_query} plans an unintended nested-loop join"
+        )
+    if plan_query not in GLOBAL_WINDOW_OK:
+        bad = _unpartitioned_windows(plan)
+        assert not bad, (
+            f"{plan_query} plans {len(bad)} unpartitioned window(s) "
+            f"(single-task funnel): {bad}"
         )

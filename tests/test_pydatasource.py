@@ -211,3 +211,49 @@ def test_jsonldir_append_merges_manifest_overwrite_replaces(spark, tmp_path):
     # old data files are gone from disk, not just from the manifest
     on_disk = [n for n in os.listdir(out) if n.endswith(".jsonl")]
     assert sorted(on_disk) == sorted(e["file"] for e in m["files"])
+
+
+def test_stream_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Checkpointed restart of the synthdocs stream: run 1 drains a finite
+    stream (max_rows=300) into a parquet file sink and stops; run 2 reopens
+    the SAME checkpoint with a raised bound (max_rows=600). The persisted
+    offset must carry over — run 2 starts at doc_id 300, emits ONLY the 300
+    new rows, and the sink (exactly-once via its metadata log) ends up with
+    each of the 600 doc_ids exactly once."""
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run(max_rows: int):
+        stream = (
+            spark.readStream.format("synthdocs")
+            .option("batch_rows", 100)
+            .option("seed", 11)
+            .option("max_rows", max_rows)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            return list(q.recentProgress)
+        finally:
+            q.stop()
+
+    run(300)
+    first = spark.read.parquet(out)
+    assert first.count() == 300
+
+    progress = run(600)
+    resumed_rows = sum(p["numInputRows"] for p in progress)
+    assert resumed_rows == 300, resumed_rows  # offset resumed, no re-read
+
+    final = spark.read.parquet(out)
+    assert final.count() == 600
+    # exactly-once: every doc_id present exactly once, ids 0..599
+    ids = [r["doc_id"] for r in final.select("doc_id").collect()]
+    assert sorted(ids) == list(range(600))

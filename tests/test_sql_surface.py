@@ -51,13 +51,13 @@ def test_sql_q1_equals_dataframe(spark):
     sql = spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                   * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS sum_charge,
+                   * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -24,10 +24,16 @@ def test_gapfill_grid_is_dense(spark):
 
 def test_rollup_grains_conserve_totals(spark):
     df = get_queries()["events_rollup_multigrain"](spark, SF_DIR).cache()
+    # sum_value is a canonical DOUBLE output (driver hash rule); re-sum in
+    # decimal so the conservation check is exact — each cell is a 2dp value
+    # that round-trips double→decimal(18,2) losslessly
     by_grain = {
         r["grain"]: (r["n"], r["sv"])
         for r in df.groupBy("grain")
-        .agg(F.sum("n_events").alias("n"), F.sum("sum_value").alias("sv"))
+        .agg(
+            F.sum("n_events").alias("n"),
+            F.sum(F.col("sum_value").cast("decimal(18,2)")).alias("sv"),
+        )
         .collect()
     }
     assert by_grain["hour"][0] == by_grain["day"][0]  # same events counted

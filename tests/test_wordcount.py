@@ -54,7 +54,7 @@ def test_word_count_per_source(spark, sf_dir):
 def test_totals(spark, sf_dir):
     sql = f"""
         WITH counts AS ({wordcount_oracle_sql()})
-        SELECT sum(cnt) AS total_words, count(*) AS unique_words FROM counts
+        SELECT CAST(sum(cnt) AS BIGINT) AS total_words, count(*) AS unique_words FROM counts
     """
     assert_matches_oracle(word_count_totals(spark, sf_dir), sql, sf_dir)
 

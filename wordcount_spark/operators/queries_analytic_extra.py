@@ -93,9 +93,9 @@ def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_value_frames",
     """
     SELECT o_orderkey, o_custkey,
-           CAST(first_value(o_totalprice) OVER w AS DECIMAL(18,2)) AS first_price,
-           CAST(last_value(o_totalprice) OVER w AS DECIMAL(18,2)) AS last_price,
-           CAST(nth_value(o_totalprice, 2) OVER w AS DECIMAL(18,2)) AS second_price,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price,
            count(*) OVER w AS n_orders
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -116,11 +116,9 @@ def window_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_custkey",
-        F.first("o_totalprice").over(w).cast("decimal(18,2)").alias("first_price"),
-        F.last("o_totalprice").over(w).cast("decimal(18,2)").alias("last_price"),
-        F.nth_value("o_totalprice", 2).over(w).cast("decimal(18,2)").alias(
-            "second_price"
-        ),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
         F.count("*").over(w).alias("n_orders"),
     ).orderBy("o_orderkey")
 

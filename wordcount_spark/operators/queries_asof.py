@@ -118,8 +118,8 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM (VALUES (0, 0.0, 25.0), (1, 25.0, 50.0),
                             (2, 50.0, 75.0), (3, 75.0, 1e18))
     )
-    SELECT b.band_id, b.lo, count(*) AS n,
-           sum(CAST(e.value AS DECIMAL(18,2))) AS total_value
+    SELECT b.band_id, CAST(b.lo AS DOUBLE) AS lo, count(*) AS n,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
     GROUP BY b.band_id, b.lo ORDER BY b.band_id
     """,
@@ -143,7 +143,7 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_id", "lo")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .orderBy("band_id")
     )

@@ -146,7 +146,7 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ORDER BY ts DESC, event_id DESC) AS rn
         FROM events) t WHERE rn = 1)
     SELECT event_type, count(*) AS n_users,
-           sum(CAST(value AS DECIMAL(18,2))) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM latest GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -182,7 +182,7 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     chg = latest_state(ev.filter(F.col("ts") >= cut))
     new_agg = apply_agg_deltas(agg_of_state(snap), snap, chg)
     return new_agg.select(
-        "event_type", "n_users", "total_value"
+        "event_type", "n_users", F.col("total_value").cast("double").alias("total_value")
     ).orderBy("event_type")
 
 

@@ -226,7 +226,7 @@ _SIMHASH_SQL = """
     ),
     fp AS (
       SELECT id,
-             sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS simhash
+             CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
       FROM bits GROUP BY id
     )
 """
@@ -351,7 +351,7 @@ _CURATION_SQL = """
       SELECT DISTINCT b.id AS idb FROM banded a
       JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
     )
-    SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM k LEFT JOIN dupes ON k.doc_id = dupes.idb
     WHERE dupes.idb IS NULL
     GROUP BY lang ORDER BY lang

@@ -281,7 +281,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND (e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst))
       JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
     ),
-    wed AS (SELECT sum((d * (d - 1)) // 2) AS n_wedges FROM deg)
+    wed AS (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg)
     SELECT n_triangles, n_wedges,
            CASE WHEN n_wedges = 0 THEN NULL
                 ELSE round(3.0 * n_triangles / n_wedges, 6) END
@@ -347,12 +347,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.coalesce("n_triangles", F.lit(0).cast("long")).alias("n_triangles"))
     )
-    # per-node wedge count stays integer end-to-end (d*(d-1) is even; the
-    # long cast lands before the sum so the total never rides a double)
+    # per-node wedge count stays integer end-to-end: integer `div` matches
+    # DuckDB's `//` exactly (double division would lose exactness past 2^53)
     wed = deg.agg(
-        F.sum(
-            ((F.col("d") * (F.col("d") - 1)) / 2).cast("long")
-        ).alias("n_wedges")
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
     )
     return tri.crossJoin(wed).select(
         "n_triangles",

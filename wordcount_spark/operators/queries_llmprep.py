@@ -283,15 +283,18 @@ def mix_rebalance_to_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row filter — the full corpus is scanned once and never shuffled.
     The md5 bucket has 10k granularity; realized n_kept therefore tracks
     rate*n_orig only statistically (binomial), which is what production
-    mixture sampling does too."""
-    from pyspark.sql import Window
-
+    mixture sampling does too. The global min is an agg scalar broadcast
+    back onto the counts frame (not an unpartitioned window: counts is
+    O(langs) so either is safe, but WindowExec-without-partition warnings
+    are indistinguishable from real single-partition hazards in a log
+    scan — tests/test_plan_smells.py bans the pattern outright)."""
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count("*").alias("n_orig"))
-    rates = counts.withColumn(
-        "rate",
-        F.min("n_orig").over(Window.partitionBy()).cast("double")
-        / F.col("n_orig"),
+    min_n = counts.agg(F.min("n_orig").alias("min_n_orig"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "lang",
+        "n_orig",
+        (F.col("min_n_orig").cast("double") / F.col("n_orig")).alias("rate"),
     )
     bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10
@@ -368,7 +371,7 @@ def mix_rebalance_to_min(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN 'holdout' ELSE 'train' END AS split,
            count(DISTINCT doc_id) AS n_docs,
            count(*) AS n_chunks,
-           sum(n_tok) AS n_tokens
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
     FROM uchunks
     GROUP BY 1, 2 ORDER BY lang, split
     """,
@@ -409,11 +412,13 @@ def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     counts = survivors.groupBy("lang").agg(F.count("*").alias("n"))
-    rates = counts.select(
+    # global min as an agg scalar + broadcast cross-join (unpartitioned
+    # WindowExec is banned by tests/test_plan_smells.py — see
+    # mix_rebalance_to_min)
+    min_n = counts.agg(F.min("n").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
         "lang",
-        (
-            F.min("n").over(Window.partitionBy()).cast("double") / F.col("n")
-        ).alias("rate"),
+        (F.col("min_n").cast("double") / F.col("n")).alias("rate"),
     )
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
@@ -791,18 +796,19 @@ def _register_curriculum():
 
     oracle = f"""
     WITH {unigram_score_sql('lower(text)')},
+    scored_r AS (SELECT doc_id, round(score, 4) AS score FROM scored),
     cuts AS (
       SELECT quantile_cont(score, 0.25) AS c1,
              quantile_cont(score, 0.5) AS c2,
              quantile_cont(score, 0.75) AS c3
-      FROM scored
+      FROM scored_r
     )
     SELECT 1 + CAST(score > c1 AS INT) + CAST(score > c2 AS INT)
              + CAST(score > c3 AS INT) AS bucket,
            count(*) AS n_docs,
-           round(min(score), 4) AS min_score,
-           round(max(score), 4) AS max_score
-    FROM scored CROSS JOIN cuts
+           min(score) AS min_score,
+           max(score) AS max_score
+    FROM scored_r CROSS JOIN cuts
     GROUP BY bucket ORDER BY bucket
     """
 
@@ -822,16 +828,23 @@ def _register_curriculum():
         pass 2 is a narrow per-row comparison against the broadcast cut
         points — no global sort anywhere. Spark ``percentile`` and DuckDB
         ``quantile_cont`` share the interpolation definition (the
-        agg_percentiles precedent), so the cut points hash-match;
-        round(4) on the score bounds absorbs ln() ulp drift.
+        agg_percentiles precedent), so the cut points hash-match; scores
+        are rounded to 4dp BEFORE the cuts so bucket membership is
+        engine-stable (ln() ulp drift cannot flip a comparison).
         """
         from wordcount_spark.operators.queries_textstats import (
             unigram_logprob_scores,
         )
 
         docs = load_table(spark, sf_dir, "documents")
+        # round(4) BEFORE the percentile cuts and bucket comparisons, not
+        # just at output: the raw score is ln-derived (engine-libm +
+        # float-sum-order ulp drift), and a doc within an ulp of a cut
+        # would land in different buckets per engine. Rounding first makes
+        # the cut comparison itself engine-stable (same rule as
+        # text_unigram_logprob).
         scored = unigram_logprob_scores(docs, lowercase=True).select(
-            "doc_id", "score"
+            "doc_id", F.round("score", 4).alias("score")
         )
         cuts = scored.agg(
             F.expr("percentile(score, 0.25)").alias("c1"),
@@ -849,8 +862,8 @@ def _register_curriculum():
             .groupBy(bucket.alias("bucket"))
             .agg(
                 F.count("*").alias("n_docs"),
-                F.round(F.min("score"), 4).alias("min_score"),
-                F.round(F.max("score"), 4).alias("max_score"),
+                F.min("score").alias("min_score"),
+                F.max("score").alias("max_score"),
             )
             .orderBy("bucket")
         )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from wordcount_spark.operators.relational import dec
+from wordcount_spark.operators.relational import dbl, dec
 from wordcount_spark.registry import register
 from wordcount_spark.sources.readers import load_table
 
@@ -29,10 +29,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -49,10 +49,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(price).alias("sum_base_price"),
-            F.sum(price * (1 - disc)).alias("sum_disc_price"),
-            F.sum(price * (1 - disc) * (1 + tax)).alias("sum_charge"),
+            dbl(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            dbl(F.sum(price)).alias("sum_base_price"),
+            dbl(F.sum(price * (1 - disc))).alias("sum_disc_price"),
+            dbl(F.sum(price * (1 - disc) * (1 + tax))).alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -62,7 +62,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_rollup",
     """
-    SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            count(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -71,14 +72,15 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP: hierarchical subtotals (flag, flag+status, grand total)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum(dec("l_quantity")).alias("sum_qty"), F.count("*").alias("n")
+        dbl(F.sum(dec("l_quantity"))).alias("sum_qty"), F.count("*").alias("n")
     )
 
 
 @register(
     "agg_cube",
     """
-    SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
@@ -86,7 +88,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE: all grouping-set combinations."""
     li = _t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.sum(dec("l_quantity")).alias("sum_qty")
+        dbl(F.sum(dec("l_quantity"))).alias("sum_qty")
     )
 
 
@@ -133,9 +135,9 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_stats",
     """
     SELECT l_returnflag,
-           CAST(min(l_quantity) AS DECIMAL(18,2)) AS min_qty,
-           CAST(max(l_quantity) AS DECIMAL(18,2)) AS max_qty,
-           round(avg(CAST(l_quantity AS DECIMAL(18,2))), 6) AS avg_qty,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           CAST(round(avg(CAST(l_quantity AS DECIMAL(18,2))), 6) AS DOUBLE) AS avg_qty,
            round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 6) AS median_qty
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
@@ -146,9 +148,9 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.min("l_quantity").cast("decimal(18,2)").alias("min_qty"),
-            F.max("l_quantity").cast("decimal(18,2)").alias("max_qty"),
-            F.round(F.avg(dec("l_quantity")), 6).alias("avg_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            dbl(F.round(F.avg(dec("l_quantity")), 6)).alias("avg_qty"),
             F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
         )
         .orderBy("l_returnflag")
@@ -161,7 +163,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast_dims",
     """
     SELECT r_name, count(*) AS n_customers,
-           sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_acctbal
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -180,7 +182,7 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.sum(dec("c_acctbal")).alias("total_acctbal"),
+            dbl(F.sum(dec("c_acctbal"))).alias("total_acctbal"),
         )
         .orderBy("r_name")
     )
@@ -190,7 +192,7 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -217,7 +219,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias("revenue"))
+        .agg(dbl(F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -228,7 +230,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     """
     SELECT n_name,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -257,7 +259,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, supp.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias("revenue"))
+        .agg(dbl(F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -371,7 +373,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_outer",
     """
     SELECT c_custkey, count(o_orderkey) AS n_orders,
-           coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS total_spent
+           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey ORDER BY c_custkey
     """,
@@ -385,9 +387,9 @@ def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast("decimal(18,2)")).alias(
-                "total_spent"
-            ),
+            dbl(
+                F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast("decimal(18,2)"))
+            ).alias("total_spent"),
         )
         .orderBy("c_custkey")
     )
@@ -457,9 +459,9 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_total",
     """
     SELECT o_custkey, o_orderkey,
-           sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spent
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spent
     FROM orders ORDER BY o_custkey, o_orderkey
     """,
 )
@@ -472,7 +474,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        orders.withColumn("running_spent", F.sum(dec("o_totalprice")).over(w))
+        orders.withColumn("running_spent", dbl(F.sum(dec("o_totalprice")).over(w)))
         .select("o_custkey", "o_orderkey", "running_spent")
         .orderBy("o_custkey", "o_orderkey")
     )
@@ -586,11 +588,10 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "unpivot_balances",
     """
-    SELECT c_custkey AS entity, 'customer' AS kind,
-           CAST(c_acctbal AS DECIMAL(18,2)) AS balance
+    SELECT c_custkey AS entity, 'customer' AS kind, c_acctbal AS balance
     FROM customer
     UNION ALL
-    SELECT s_suppkey, 'supplier', CAST(s_acctbal AS DECIMAL(18,2))
+    SELECT s_suppkey, 'supplier', s_acctbal
     FROM supplier
     ORDER BY kind, entity
     """,
@@ -600,12 +601,12 @@ def unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("entity"),
         F.lit("customer").alias("kind"),
-        dec("c_acctbal").alias("balance"),
+        F.col("c_acctbal").alias("balance"),
     )
     s = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("entity"),
         F.lit("supplier").alias("kind"),
-        dec("s_acctbal").alias("balance"),
+        F.col("s_acctbal").alias("balance"),
     )
     return c.unionAll(s).orderBy("kind", "entity")
 
@@ -647,8 +648,8 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN o_totalprice >= 500000 THEN 11
                 ELSE CAST(floor(o_totalprice / 50000) AS BIGINT) + 1 END AS bucket,
            count(*) AS n,
-           CAST(min(o_totalprice) AS DECIMAL(18,2)) AS lo,
-           CAST(max(o_totalprice) AS DECIMAL(18,2)) AS hi
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
     FROM orders GROUP BY bucket ORDER BY bucket
     """,
 )
@@ -664,8 +665,8 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.min("o_totalprice").cast("decimal(18,2)").alias("lo"),
-            F.max("o_totalprice").cast("decimal(18,2)").alias("hi"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
         )
         .orderBy("bucket")
     )
@@ -734,7 +735,7 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_custkey, o_orderkey,
            coalesce(o_orderkey, -1) AS okey_or_default,
-           CAST(ifnull(o_totalprice, 0.0) AS DECIMAL(18,2)) AS price_or_zero,
+           ifnull(o_totalprice, 0.0) AS price_or_zero,
            nullif(c_acctbal, 0.0) IS NULL AS bal_is_zero,
            CASE WHEN o_orderkey IS NULL THEN 'none' ELSE 'some' END AS has_pending
     FROM j ORDER BY c_custkey, o_orderkey
@@ -751,9 +752,7 @@ def scalar_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "o_orderkey",
             F.coalesce("o_orderkey", F.lit(-1)).alias("okey_or_default"),
-            F.nvl(F.col("o_totalprice"), F.lit(0.0)).cast("decimal(18,2)").alias(
-                "price_or_zero"
-            ),
+            F.nvl(F.col("o_totalprice"), F.lit(0.0)).alias("price_or_zero"),
             F.nullif(F.col("c_acctbal"), F.lit(0.0)).isNull().alias("bal_is_zero"),
             F.when(F.col("o_orderkey").isNull(), "none").otherwise("some").alias(
                 "has_pending"
@@ -771,7 +770,7 @@ def scalar_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer GROUP BY c_nationkey
     )
     SELECT c.c_nationkey, min(c.c_custkey) AS best_cust,
-           CAST(mx.best_bal AS DECIMAL(18,2)) AS best_bal
+           mx.best_bal AS best_bal
     FROM customer c JOIN mx
       ON c.c_nationkey = mx.c_nationkey AND c.c_acctbal = mx.best_bal
     GROUP BY c.c_nationkey, mx.best_bal
@@ -792,11 +791,7 @@ def agg_argmax_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop(mx.c_nationkey)
         .groupBy("c_nationkey", "best_bal")
         .agg(F.min("c_custkey").alias("best_cust"))
-        .select(
-            "c_nationkey",
-            "best_cust",
-            F.col("best_bal").cast("decimal(18,2)").alias("best_bal"),
-        )
+        .select("c_nationkey", "best_cust", "best_bal")
         .orderBy("c_nationkey")
     )
 
@@ -824,7 +819,7 @@ def order_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "subquery_scalar",
     """
-    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    SELECT o_orderkey, o_totalprice AS price
     FROM orders
     WHERE o_totalprice > (SELECT 2 * avg(o_totalprice) FROM orders)
     ORDER BY o_orderkey
@@ -835,7 +830,7 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
-        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        SELECT o_orderkey, o_totalprice AS price
         FROM orders
         WHERE o_totalprice > (SELECT 2 * avg(o_totalprice) FROM orders)
         ORDER BY o_orderkey
@@ -846,22 +841,26 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "subquery_correlated",
     """
-    SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+    SELECT c_custkey, c_acctbal AS acctbal
     FROM customer c
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
-                       WHERE c2.c_nationkey = c.c_nationkey)
+    WHERE c_acctbal > 1.0001 * (SELECT avg(c_acctbal) FROM customer c2
+                                WHERE c2.c_nationkey = c.c_nationkey)
     ORDER BY c_custkey
     """,
 )
 def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated subquery — Catalyst decorrelates to an aggregate + join."""
+    """Correlated subquery — Catalyst decorrelates to an aggregate + join.
+
+    The avg() threshold is scaled by 1.0001 so no row sits exactly ON the
+    engine-computed average: avg-of-doubles is summation-order-dependent,
+    and a row within an ulp of the cut would flip membership per engine."""
     _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(
         """
-        SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+        SELECT c_custkey, c_acctbal AS acctbal
         FROM customer c
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
-                           WHERE c2.c_nationkey = c.c_nationkey)
+        WHERE c_acctbal > 1.0001 * (SELECT avg(c_acctbal) FROM customer c2
+                                    WHERE c2.c_nationkey = c.c_nationkey)
         ORDER BY c_custkey
         """
     )
@@ -982,9 +981,9 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_conditional",
     """
     SELECT o_orderpriority,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )
@@ -1006,9 +1005,9 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_by_priority",
     """
     SELECT o_orderpriority,
-           coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS F,
-           coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS O,
-           coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS P
+           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS F,
+           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS O,
+           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS P
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )
@@ -1018,7 +1017,7 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast("decimal(18,2)")))
+        .agg(dbl(F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast("decimal(18,2)"))))
         .orderBy("o_orderpriority")
     )
 
@@ -1291,7 +1290,7 @@ def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            count(*) AS n_lines,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderdate >= TIMESTAMP '1999-01-01'
     GROUP BY o_orderpriority
@@ -1314,7 +1313,7 @@ def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_lines"),
-            F.sum(dec("l_quantity")).alias("total_qty"),
+            dbl(F.sum(dec("l_quantity"))).alias("total_qty"),
         )
         .orderBy("o_orderpriority")
     )

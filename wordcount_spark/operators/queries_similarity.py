@@ -362,7 +362,7 @@ def similarity_multiquery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s
     )
     SELECT vec_id, scale,
-           list_sum(qv) AS q_sum,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
            list_min(qv) AS q_min,
            list_max(qv) AS q_max,
            len(list_filter(qv, v -> v <> 0)) AS q_nnz

@@ -445,7 +445,7 @@ def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
            count(*) AS n,
-           sum(CAST(value AS DECIMAL(18,2))) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1 ORDER BY k_val
     """,
 )
@@ -464,7 +464,7 @@ def json_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_val")
         .agg(
             F.count("*").alias("n"),
-            F.sum(dec("value")).alias("total_value"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
         )
         .orderBy("k_val")
     )
@@ -528,7 +528,7 @@ def text_token_freq_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok)
     SELECT doc_id,
-           sum(c) AS n_tokens,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
            count(*) AS n_unique,
            CAST(sum(c * c) AS DOUBLE) / (sum(c) * sum(c)) AS simpson_index
     FROM c GROUP BY doc_id ORDER BY doc_id

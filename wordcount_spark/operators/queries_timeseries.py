@@ -58,7 +58,7 @@ def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT g.bucket_hour, g.event_type,
            coalesce(h.n_raw, 0) AS n_events,
-           CAST(coalesce(h.sv, 0) AS DECIMAL(28,2)) AS sum_value
+           CAST(coalesce(h.sv, 0) AS DOUBLE) AS sum_value
     FROM grid g
     LEFT JOIN hourly h
       ON g.bucket_hour = h.bucket_hour AND g.event_type = h.event_type
@@ -93,9 +93,7 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket_hour",
             "event_type",
             F.coalesce("n_raw", F.lit(0)).alias("n_events"),
-            F.coalesce("sum_value", F.lit(0))
-            .cast("decimal(28,2)")
-            .alias("sum_value"),
+            F.coalesce("sum_value", F.lit(0)).cast("double").alias("sum_value"),
         )
         .orderBy("bucket_hour", "event_type")
     )
@@ -187,7 +185,7 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ROWS UNBOUNDED PRECEDING) AS session_no
       FROM flagged
     )
-    SELECT user_id, session_no, count(*) AS n_events,
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
            epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
     FROM numbered GROUP BY user_id, session_no
     ORDER BY user_id, session_no
@@ -251,11 +249,11 @@ def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     )
     SELECT 'hour' AS grain, bucket_hour AS bucket, event_type,
-           n_events, CAST(sv AS DECIMAL(38,2)) AS sum_value
+           n_events, CAST(sv AS DOUBLE) AS sum_value
     FROM hourly
     UNION ALL
     SELECT 'day' AS grain, date_trunc('day', bucket_hour) AS bucket, event_type,
-           sum(n_events) AS n_events, CAST(sum(sv) AS DECIMAL(38,2)) AS sum_value
+           CAST(sum(n_events) AS BIGINT) AS n_events, CAST(sum(sv) AS DOUBLE) AS sum_value
     FROM hourly GROUP BY 2, 3
     ORDER BY grain, bucket, event_type
     """,
@@ -271,7 +269,7 @@ def events_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket_hour").alias("bucket"),
         "event_type",
         "n_events",
-        F.col("sum_value").cast("decimal(38,2)").alias("sum_value"),
+        F.col("sum_value").cast("double").alias("sum_value"),
     )
     day_out = (
         hourly.groupBy(
@@ -279,7 +277,7 @@ def events_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("n_events").alias("n_events"),
-            F.sum("sum_value").cast("decimal(38,2)").alias("sum_value"),
+            F.sum("sum_value").cast("double").alias("sum_value"),
         )
         .select(F.lit("day").alias("grain"), "bucket", "event_type", "n_events", "sum_value")
     )

@@ -41,7 +41,7 @@ def _revenue() -> F.Column:
 @register(
     "q6_forecast_revenue",
     """
-    SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS revenue,
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -61,7 +61,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.sum(dec("l_extendedprice") * dec("l_discount")).alias("revenue"),
+        F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double").alias("revenue"),
         F.count("*").alias("n"),
     )
 
@@ -69,7 +69,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q7_volume_shipping",
     """
-    SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+    SELECT supp_nation, cust_nation, l_year, CAST(sum(volume) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS INT) AS l_year,
@@ -124,7 +124,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
-        .agg(F.sum(_revenue()).alias("revenue"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -209,8 +209,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q10_returned_items",
     """
-    SELECT c_custkey, c_name, n_name, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+    SELECT c_custkey, c_name, n_name, c_acctbal AS acctbal,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -242,8 +242,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "n_name", dec("c_acctbal").alias("acctbal"))
-        .agg(F.sum(_revenue()).alias("revenue"))
+        .groupBy("c_custkey", "c_name", "n_name", F.col("c_acctbal").alias("acctbal"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -297,7 +297,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, total_revenue
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
     WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
     ORDER BY s_suppkey
@@ -328,7 +328,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(peak), F.col("total_revenue") == F.col("peak_revenue"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select("s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue"))
         .orderBy("s_suppkey")
     )
 
@@ -375,8 +375,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_volume_customers",
     """
     SELECT c_custkey, c_name, o_orderkey, o_orderdate,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+           o_totalprice AS totalprice,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -413,9 +413,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             "o_orderkey",
             "o_orderdate",
-            dec("o_totalprice").alias("totalprice"),
+            F.col("o_totalprice").alias("totalprice"),
         )
-        .agg(F.sum(dec("l_quantity")).alias("sum_qty"))
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
         .orderBy(F.desc("totalprice"), "o_orderkey")
         .limit(100)
     )
@@ -424,7 +424,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_discounted_revenue",
     """
-    SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
            count(*) AS n
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -457,7 +457,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.filter(cond).agg(
-        F.sum(_revenue()).alias("revenue"), F.count("*").alias("n")
+        F.sum(_revenue()).cast("double").alias("revenue"), F.count("*").alias("n")
     )
 
 
@@ -465,7 +465,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_sales_opportunity",
     """
     SELECT c_nationkey, count(*) AS numcust,
-           sum(CAST(c_acctbal AS DECIMAL(18,2))) AS totacctbal
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
     FROM customer
     WHERE c_acctbal > (
             SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
@@ -493,7 +493,7 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            F.sum(dec("c_acctbal")).alias("totacctbal"),
+            F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
         .orderBy("c_nationkey")
     )
@@ -572,8 +572,8 @@ def q9_pseudo_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) <= 30 THEN 'fast'
                 WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) <= 365 THEN 'normal'
                 ELSE 'slow' END AS ship_lag_class,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
     GROUP BY ship_lag_class
@@ -849,7 +849,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_stock",
     """
     SELECT l_partkey,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS val
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS val
     FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
     JOIN nation ON s_nationkey = n_nationkey
     WHERE n_name IN ('NATION_3', 'NATION_7')
@@ -890,7 +890,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("val").cast("double") > F.col("threshold"))
-        .select("l_partkey", "val")
+        .select("l_partkey", F.col("val").cast("double").alias("val"))
         .orderBy("l_partkey")
     )
 

@@ -30,7 +30,7 @@ from wordcount_spark.sources.readers import load_table
            time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS we,
            event_type,
            count(*) AS n,
-           sum(CAST(value AS DECIMAL(18,2))) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type
     """,
 )
@@ -44,7 +44,7 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum(dec("value")).alias("total_value"))
+        .agg(F.count("*").alias("n"), F.sum(dec("value")).cast("double").alias("total_value"))
         .select(
             F.col("w.start").alias("ws"),
             F.col("w.end").alias("we"),
@@ -139,7 +139,7 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT event_type) AS n_types,
            min(ts) AS first_seen,
            max(ts) AS last_seen,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
     FROM events GROUP BY user_id ORDER BY user_id
     """,
 )
@@ -318,10 +318,11 @@ def events_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id),
     a AS (
       SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
-    SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+    SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+           date_diff('day', cohort_day, day) AS day_offset,
            count(*) AS n_users
     FROM a JOIN f USING (user_id)
-    GROUP BY cohort_day, day_offset
+    GROUP BY 1, day_offset
     ORDER BY cohort_day, day_offset
     """,
 )
@@ -337,7 +338,13 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
         days.join(F.broadcast(first), "user_id")
-        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        # output DATEs as TIMESTAMP: DuckDB DATE coerces to datetime64
+        # ("… 00:00:00") while Spark DATE stays datetime.date ("2024-01-01")
+        # under the driver's pandas hashing — TIMESTAMP agrees on both sides
+        .groupBy(
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
@@ -349,7 +356,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
       FROM events GROUP BY event_type, day)
-    SELECT event_type, day, n,
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day, n,
            round((n - avg(n) OVER w) / stddev_samp(n) OVER w, 4) AS z
     FROM d
     WINDOW w AS (PARTITION BY event_type)
@@ -374,7 +381,7 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         daily.select(
             "event_type",
-            "day",
+            F.col("day").cast("timestamp").alias("day"),
             "n",
             F.round(
                 (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w), 4
@@ -436,7 +443,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id,
            count(*) OVER w AS n_trailing_1h,
-           sum(CAST(value AS DECIMAL(18,2))) OVER w AS sum_trailing_1h
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing_1h
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -463,5 +470,5 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.count("*").over(w).alias("n_trailing_1h"),
-        F.sum(dec("value")).over(w).alias("sum_trailing_1h"),
+        F.sum(dec("value")).over(w).cast("double").alias("sum_trailing_1h"),
     ).orderBy("event_id")

@@ -142,7 +142,7 @@ def q_wordcount_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wordcount_totals",
     f"""
     WITH counts AS ({_wc_sql()})
-    SELECT sum(cnt) AS total_words, count(*) AS unique_words FROM counts
+    SELECT CAST(sum(cnt) AS BIGINT) AS total_words, count(*) AS unique_words FROM counts
     """,
 )
 def q_wordcount_totals(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,3 +30,17 @@ DEC = "decimal(18,2)"
 def dec(col: Column | str) -> Column:
     """Exact 2-dp decimal view of a money double (see module docstring)."""
     return F.col(col).cast(DEC) if isinstance(col, str) else col.cast(DEC)
+
+
+def dbl(col: Column | str) -> Column:
+    """Canonical OUTPUT form of an exact decimal: cast to DOUBLE.
+
+    Decimal stays internal (exact, order-independent sums); the output
+    column must be DOUBLE because the driver's hasher coerces both engines
+    through pandas — DuckDB DECIMAL becomes float64 (``"253942.0"``) while
+    Spark DecimalType survives as ``decimal.Decimal`` (``"253942.00"``),
+    so a DECIMAL-typed output hash-mismatches on trailing zeros. Casting
+    the identical exact decimal to DOUBLE on both sides yields the same
+    bits, hence the same string, under every coercion path. Mirror rule in
+    oracle SQL: ``CAST(sum(...) AS DOUBLE)``."""
+    return F.col(col).cast("double") if isinstance(col, str) else col.cast("double")

@@ -62,11 +62,58 @@ def _load_all() -> None:
             pass  # module not built yet (incremental rounds)
 
 
+#: Category-spanning showcase order. The round-1 driver sampled only the
+#: FIRST 50 registered queries, and registration order front-loaded 42
+#: relational queries — so the dedup/similarity/llmprep/graph/streaming
+#: surface got zero driver-side correctness rows (VERDICT.md "What's
+#: wrong" #2). These 50 names lead the registry: the reference wordcount
+#: surface first (must-stay-green), then representatives of every
+#: category. Everything else follows in registration order.
+PRIORITY: tuple[str, ...] = (
+    # reference surface (SURVEY.md §2)
+    "wordcount", "wordcount_stale", "wordcount_per_source", "wordcount_per_lang",
+    "wordcount_ranked", "wordcount_ci_collation", "wordcount_salted", "wordcount_totals",
+    # dedup family
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "dedup_clusters",
+    # similarity / ANN
+    "similarity_topk_bruteforce", "similarity_multiquery_topk",
+    "embedding_quantize_int8", "similarity_knn_classify", "similarity_rp_lsh_buckets",
+    # LLM data prep
+    "text_chunk_windows", "llm_pack_sequences", "mix_rebalance_to_min",
+    "pipeline_pretrain_full", "curriculum_quality_buckets", "text_pii_scrub",
+    # text analysis
+    "text_token_stats", "text_quality_score", "text_lang_id",
+    "text_tfidf_top_terms", "text_bpe_token_count",
+    # graph
+    "graph_triangle_count", "graph_degree_distribution", "graph_recursive_reach",
+    # timeseries
+    "events_gapfill_hourly", "events_sessionize_gap", "events_rollup_multigrain",
+    # windowed / behavioral events
+    "window_tumbling", "window_session", "events_retention_cohorts", "events_funnel",
+    # CDC
+    "cdc_upsert_latest_state", "cdc_scd2_history", "cdc_incremental_agg",
+    # as-of / range joins
+    "asof_join_last_order", "range_join_value_bands",
+    # structured streaming (replayed micro-batch)
+    "streaming_incremental_merge",
+    # multimodal
+    "multimodal_meta", "multimodal_doc_embedding_join",
+    # relational flagships
+    "q1_pricing_summary", "q3_shipping_priority",
+)
+
+
+def _ordered(d: dict) -> dict:
+    front = {n: d[n] for n in PRIORITY if n in d}
+    return front | {n: v for n, v in d.items() if n not in front}
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
-    return dict(QUERIES)
+    return _ordered(QUERIES)
 
 
 def get_oracles() -> dict[str, str]:
     _load_all()
-    return dict(ORACLES)
+    return _ordered(ORACLES)
