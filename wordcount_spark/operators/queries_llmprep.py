@@ -289,7 +289,10 @@ def mix_rebalance_to_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     are indistinguishable from real single-partition hazards in a log
     scan — tests/test_plan_smells.py bans the pattern outright)."""
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count("*").alias("n_orig"))
+    # cached: the scalar-min branch and the rates branch both consume this
+    # O(langs) frame, and Spark does not reuse exchanges across branches —
+    # without the cache the documents scan+agg runs twice
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_orig")).cache()
     min_n = counts.agg(F.min("n_orig").alias("min_n_orig"))
     rates = counts.crossJoin(F.broadcast(min_n)).select(
         "lang",
@@ -411,7 +414,8 @@ def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "toks")
         .cache()
     )
-    counts = survivors.groupBy("lang").agg(F.count("*").alias("n"))
+    # cached (O(langs)): min branch + rates branch share one aggregation
+    counts = survivors.groupBy("lang").agg(F.count("*").alias("n")).cache()
     # global min as an agg scalar + broadcast cross-join (unpartitioned
     # WindowExec is banned by tests/test_plan_smells.py — see
     # mix_rebalance_to_min)
