@@ -40,6 +40,10 @@ BNLJ_OK = {
     "curriculum_quality_buckets",
     "mix_rebalance_to_min",
     "pipeline_pretrain_full",
+    # 1-row corpus-stats (N, avgdl) fan-out onto the query-vocabulary tf
+    # frame; 3-row broadcast query-vector fan-out on the cosine side
+    "retrieval_bm25_topk",
+    "retrieval_hybrid_rrf",
 }
 
 # streaming / iterative queries execute eagerly inside the callable —

@@ -756,3 +756,94 @@ def _register_pipeline_rag():
 
 
 _register_pipeline_rag()
+
+
+@register(
+    "dedup_cluster_best_quality",
+    f"""
+    WITH RECURSIVE sh AS ({{shingles}}),
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS ida, b.id AS idb, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    pairs AS (
+      SELECT ida, idb FROM common
+      JOIN sizes sa ON sa.id = ida JOIN sizes sb ON sb.id = idb
+      WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+    ),
+    sym AS (
+      SELECT ida AS a, idb AS b FROM pairs
+      UNION SELECT idb, ida FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+    ),
+    labels AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+    dl AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    labeled AS (
+      SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component, d.n_tokens
+      FROM dl d LEFT JOIN labels l USING (doc_id)
+    )
+    SELECT component, doc_id AS survivor_id, n_members, n_tokens AS survivor_tokens
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY component
+                                   ORDER BY n_tokens DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY component) AS n_members
+      FROM labeled) t
+    WHERE rn = 1 ORDER BY component
+    """.format(shingles=_SHINGLES_SQL),
+    eager=True,  # component contraction iterates at build time
+)
+def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted dedup SURVIVOR POLICY: within each near-dup cluster
+    (3-gram Jaccard >= 0.5 components, same edge set as ``dedup_clusters``)
+    keep the LONGEST document (token count; min-doc_id tiebreak) — the
+    "keep the most complete duplicate" policy production curation uses
+    instead of min-id, with singleton docs as their own survivors. The
+    oracle replays clustering as a RECURSIVE-CTE closure and applies the
+    same argmax, so policy AND clustering are differentially checked.
+
+    Scale: component labels come from the large-star/small-star
+    contraction (O(log n) rounds); the quality argmax is ONE window over
+    the per-doc (component, n_tokens) frame, partitioned by component —
+    no per-cluster collect, no quadratic anything. Swapping the quality
+    key (length -> model score, date, source rank) is a one-column
+    change."""
+    from pyspark.sql import Window
+
+    from wordcount_spark.operators.components import connected_components_star
+    from wordcount_spark.operators.queries_textstats import _toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(doc_shingles(docs), 0.5).select("ida", "idb")
+    labels = connected_components_star(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    dl = docs.select("doc_id", F.size(_toks()).alias("n_tokens"))
+    labeled = dl.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("component"),
+        "n_tokens",
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_tokens"), "doc_id")
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(Window.partitionBy("component")))
+        .where(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("survivor_id"),
+            "n_members",
+            F.col("n_tokens").alias("survivor_tokens"),
+        )
+        .orderBy("component")
+    )

@@ -1,0 +1,293 @@
+"""Document retrieval operators: BM25 lexical scoring and hybrid
+lexical+vector rank fusion — the QUERY side of a RAG stack (the index
+side is ``pipeline_rag_corpus``). The reference has no retrieval at all
+(SURVEY.md §2.7); these are the operators a user points at a curated
+corpus to serve it.
+
+Engine parity: idf carries ``ln`` → rounded to 4dp (repo ln rule); the
+per-term BM25 contributions are rounded to 6dp and summed as exact
+DECIMAL(18,6) so the per-doc score does not depend on float summation
+order; ranks are computed over the rounded scores with doc_id tiebreaks,
+so rank assignment is identical across engines; RRF adds exactly two
+reciprocal terms in a fixed expression order (no aggregation).
+
+Scale: the corpus token scan is filtered to the query vocabulary BEFORE
+the explode aggregates (9 terms — the tf frame is O(matching docs), not
+O(tokens)); doc lengths are a narrow per-doc aggregate; N/avgdl/df are
+tiny broadcast scalars. Rank fusion joins two top-k candidate POOLS
+(WindowGroupLimit keeps k rows per query per mapper), never the full
+per-ranker rankings — the standard candidate-pool RRF that holds at
+100 TB corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wordcount_spark.registry import register
+from wordcount_spark.sources.readers import load_table
+
+K1 = 1.2
+B = 0.75
+RRF_K = 60
+POOL = 20  # per-ranker candidate pool size for fusion
+TOPK = 10
+
+#: Fixed keyword queries over the synthetic corpus vocabulary. qids align
+#: with the embedding query set (``vec_id < 3``) used by the vector side.
+QUERY_TERMS: dict[int, tuple[str, ...]] = {
+    0: ("join", "hash", "scan"),
+    1: ("stream", "window", "batch"),
+    2: ("vector", "query", "sort"),
+}
+
+_QUERY_VALUES_SQL = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in QUERY_TERMS.items() for t in terms
+)
+
+_TOKS_LOWER_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')"
+)
+
+# Shared SQL chain: tokenize → doc lengths → corpus scalars → tf/df →
+# per-term contribution → per-doc BM25 score → per-query ranks.
+_BM25_SQL = f"""
+    q(qid, term) AS (SELECT * FROM (VALUES {_QUERY_VALUES_SQL})),
+    toks AS (
+      SELECT doc_id, unnest({_TOKS_LOWER_SQL}) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    corpus AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT qid, term, doc_id, count(*) AS tf
+      FROM toks JOIN q ON tok = term
+      GROUP BY qid, term, doc_id
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.qid, tf.doc_id,
+             CAST(round(
+               round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 4)
+               * tf * ({K1} + 1.0)
+               / (tf + {K1} * (1.0 - {B} + {B} * dl.dl / avgdl)),
+             6) AS DECIMAL(18,6)) AS c
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl USING (doc_id), corpus
+    ),
+    scores AS (
+      SELECT qid, doc_id, CAST(sum(c) AS DOUBLE) AS score
+      FROM contrib GROUP BY qid, doc_id
+    ),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+      FROM scores
+    )
+"""
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, doc_id, score DOUBLE, rnk) for every doc matching ≥1 term.
+
+    ONE pass over the corpus: the query vocabulary is a fixed literal
+    set, so per-doc term frequencies are conditional sums computed in the
+    SAME aggregation as the doc length — one scan, one doc_id-keyed
+    exchange; the stack() unpivot and everything after it operate on the
+    per-doc frame (O(docs), then O(matching docs))."""
+    docs = load_table(spark, sf_dir, "documents")
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(qid, t) for qid, terms in QUERY_TERMS.items() for t in terms],
+            ["qid", "term"],
+        )
+    )
+    vocab = sorted({t for terms in QUERY_TERMS.values() for t in terms})
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum((F.col("tok") == t).cast("long")).alias(f"tf_{i}")
+            for i, t in enumerate(vocab)
+        ],
+    )
+    # cached: the corpus-stats scalar and the unpivot both consume this
+    # O(docs) frame; without the cache the token scan runs twice
+    counts = counts.cache()
+    corpus = counts.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    stack_expr = "stack({n}, {args}) AS (term, tf)".format(
+        n=len(vocab),
+        args=", ".join(f"'{t}', tf_{i}" for i, t in enumerate(vocab)),
+    )
+    tf = (
+        counts.select("doc_id", "dl", F.expr(stack_expr))
+        .where(F.col("tf") > 0)
+        .join(qdf, "term")
+        .select("qid", "term", "doc_id", "tf", "dl")
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.round(
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0), 4
+    )
+    tfnorm = (
+        F.col("tf")
+        * (K1 + 1.0)
+        / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl")))
+    )
+    contrib = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "qid",
+            "doc_id",
+            F.round(idf * tfnorm, 6).cast("decimal(18,6)").alias("c"),
+        )
+    )
+    scores = contrib.groupBy("qid", "doc_id").agg(
+        F.sum("c").cast("double").alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), "doc_id")
+    return scores.withColumn("rnk", F.row_number().over(w))
+
+
+@register(
+    "retrieval_bm25_topk",
+    f"""
+    WITH {_BM25_SQL}
+    SELECT qid, rnk AS rank, doc_id, score
+    FROM ranked WHERE rnk <= {TOPK}
+    ORDER BY qid, rank
+    """,
+)
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) top-10 documents for three fixed keyword
+    queries — the standard lexical ranking function, expressed as pure
+    relational algebra (tf/df/dl aggregates + one scoring projection).
+
+    Scale: the only corpus-sized work is ONE token scan; everything after
+    the `tf` aggregation is query-vocabulary-sized. The final top-k is a
+    per-query WindowGroupLimit, not a global sort. (At 100 TB you'd keep
+    the df/dl statistics as a maintained table — they're the same
+    aggregates this plan computes inline.)"""
+    return (
+        _bm25_ranked(spark, sf_dir)
+        .where(F.col("rnk") <= TOPK)
+        .select("qid", F.col("rnk").alias("rank"), "doc_id", "score")
+        .orderBy("qid", "rank")
+    )
+
+
+def _register_hybrid():
+    """Closure: the oracle composes the BM25 chain with the cosine chain
+    shared with the similarity module."""
+    from wordcount_spark.operators.queries_similarity import _NORM_SQL
+
+    dot = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))"
+    )
+    oracle = f"""
+    WITH {_BM25_SQL},
+    bpool AS (SELECT qid, doc_id, rnk AS rb FROM ranked WHERE rnk <= {POOL}),
+    qe AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 3),
+    sims AS (
+      SELECT qe.qid, e.vec_id AS doc_id,
+             {dot} / ({_NORM_SQL.format(v="qe.embedding")}
+                      * {_NORM_SQL.format(v="e.embedding")}) AS cos
+      FROM qe CROSS JOIN embeddings e
+    ),
+    cpool AS (
+      SELECT qid, doc_id, rc FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rc
+        FROM sims) t WHERE rc <= {POOL}
+    ),
+    fused AS (
+      SELECT coalesce(bpool.qid, cpool.qid) AS qid,
+             coalesce(bpool.doc_id, cpool.doc_id) AS doc_id,
+             coalesce(rb, 0) AS bm25_rank,
+             coalesce(rc, 0) AS cos_rank,
+             round(coalesce(1.0 / ({RRF_K} + rb), 0.0)
+                   + coalesce(1.0 / ({RRF_K} + rc), 0.0), 6) AS rrf_score
+      FROM bpool FULL OUTER JOIN cpool USING (qid, doc_id)
+    )
+    SELECT qid, rank, doc_id, bm25_rank, cos_rank, rrf_score FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY rrf_score DESC, doc_id) AS rank
+      FROM fused) t
+    WHERE rank <= {TOPK} ORDER BY qid, rank
+    """
+
+    @register("retrieval_hybrid_rrf", oracle)
+    def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hybrid retrieval via Reciprocal Rank Fusion: BM25 top-20 pool ∪
+        embedding-cosine top-20 pool, fused as Σ 1/(60 + rank) with a
+        ranker's term dropped for docs outside its pool — the standard
+        lexical+vector serving combination (and the reason a corpus
+        pipeline keeps BOTH a token index and an embedding column).
+
+        Scale: each ranker reduces to a per-query candidate pool BEFORE
+        the join (k rows per query per ranker), so the fusion join is
+        O(queries × k) regardless of corpus size. doc_id ≡ vec_id keys
+        both sides (the multiquery/IVF paths are drop-in for the scan
+        here, same as pipeline_rag_corpus)."""
+        from wordcount_spark.operators.queries_similarity import cosine
+
+        bpool = (
+            _bm25_ranked(spark, sf_dir)
+            .where(F.col("rnk") <= POOL)
+            .select("qid", "doc_id", F.col("rnk").alias("rb"))
+        )
+        emb = load_table(spark, sf_dir, "embeddings")
+        qe = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+        )
+        sims = emb.crossJoin(F.broadcast(qe)).select(
+            "qid",
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+        wc = Window.partitionBy("qid").orderBy(F.desc("cos"), "doc_id")
+        cpool = (
+            sims.withColumn("rc", F.row_number().over(wc))
+            .where(F.col("rc") <= POOL)
+            .select("qid", "doc_id", "rc")
+        )
+        fused = (
+            bpool.join(cpool, ["qid", "doc_id"], "full_outer")
+            .select(
+                "qid",
+                "doc_id",
+                F.coalesce("rb", F.lit(0)).alias("bm25_rank"),
+                F.coalesce("rc", F.lit(0)).alias("cos_rank"),
+                F.round(
+                    F.coalesce(1.0 / (RRF_K + F.col("rb")), F.lit(0.0))
+                    + F.coalesce(1.0 / (RRF_K + F.col("rc")), F.lit(0.0)),
+                    6,
+                ).alias("rrf_score"),
+            )
+        )
+        wf = Window.partitionBy("qid").orderBy(F.desc("rrf_score"), "doc_id")
+        return (
+            fused.withColumn("rank", F.row_number().over(wf))
+            .where(F.col("rank") <= TOPK)
+            .select("qid", "rank", "doc_id", "bm25_rank", "cos_rank", "rrf_score")
+            .orderBy("qid", "rank")
+        )
+
+
+_register_hybrid()

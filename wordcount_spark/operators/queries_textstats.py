@@ -1164,3 +1164,88 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_quality_classifier",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter({_TOKS_SQL}, x -> x <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+             len(list_filter(toks, x -> list_contains({STOPWORDS!r}, x))) AS n_stop,
+             len(list_filter(toks, x -> length(x) > 3)) AS n_long
+      FROM t
+    ),
+    z AS (
+      SELECT doc_id, n_tokens,
+             -1.5 + 3.2 * (CAST(n_stop AS DOUBLE) / n_tokens)
+                  + 2.0 * (CAST(n_long AS DOUBLE) / n_tokens)
+                  - 8.0 * (CAST(n_punct AS DOUBLE) / n_chars)
+                  + 0.01 * least(n_tokens, 200) AS z
+      FROM m
+    )
+    SELECT doc_id, n_tokens,
+           floor(z * 10000) / 10000 + 0.0 AS logit,
+           floor(1.0 / (1.0 + exp(-z)) * 10000) / 10000 + 0.0 AS p_keep,
+           z > 0 AS keep
+    FROM z ORDER BY doc_id
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate: a FIXED-WEIGHT logistic classifier over
+    the same features the heuristic gate uses (stopword ratio, long-token
+    ratio, punctuation density, clipped length) — the deterministic
+    stand-in for the fastText/linear quality classifiers production
+    curation runs where hand rules stop scaling. Weights are literals, so
+    the whole model is one codegen'd projection; swapping in trained
+    weights is a constant change, and a per-row Arrow UDF is only needed
+    once the model stops being linear.
+
+    Engine parity: the logit is a fixed multiply-add chain over exact
+    ratios (identical expression order both engines → identical IEEE
+    bits, so `keep = z > 0` cannot flip); exp() drifts by ulps between
+    libms and round() half-breaking differs per engine, so p_keep and the
+    logit are floor-truncated to 4dp (+ 0.0 canonicalizes -0.0) — the
+    repo's threshold rule.
+
+    Scale: narrow map over one scan — no shuffle at all except the
+    output sort; composes in front of any dedup stage exactly like the
+    heuristic gate in ``pipeline_curation``."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    m = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"\p{Punct}", ""))
+        ).alias("n_punct"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).alias("n_stop"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 3)).alias("n_long"),
+    )
+    z = (
+        F.lit(-1.5)
+        + 3.2 * (F.col("n_stop").cast("double") / F.col("n_tokens"))
+        + 2.0 * (F.col("n_long").cast("double") / F.col("n_tokens"))
+        - 8.0 * (F.col("n_punct").cast("double") / F.col("n_chars"))
+        + 0.01 * F.least(F.col("n_tokens"), F.lit(200))
+    )
+    return (
+        m.select(
+            "doc_id",
+            "n_tokens",
+            (F.floor(z * 10000) / 10000 + 0.0).alias("logit"),
+            (F.floor(1.0 / (1.0 + F.exp(-z)) * 10000) / 10000 + 0.0).alias("p_keep"),
+            (z > 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
