@@ -44,6 +44,8 @@ BNLJ_OK = {
     # frame; 3-row broadcast query-vector fan-out on the cosine side
     "retrieval_bm25_topk",
     "retrieval_hybrid_rrf",
+    # 1-row budget/level scalars fanned onto the O(sources) frame
+    "mix_token_budget_waterfill",
 }
 
 # streaming / iterative queries execute eagerly inside the callable —
@@ -67,7 +69,12 @@ def pytest_generate_tests(metafunc):
 # funnels through ONE task — a 100 TB outage unless the input frame is
 # already tiny). Keep empty unless a global frame over an O(groups)
 # aggregate is genuinely the right plan; comment the justification.
-GLOBAL_WINDOW_OK: set[str] = set()
+GLOBAL_WINDOW_OK: set[str] = {
+    # water-filling level needs a global (rank, prefix-sum) over the
+    # per-SOURCE aggregate — an O(sources) frame (a handful of rows at any
+    # corpus size), never the corpus
+    "mix_token_budget_waterfill",
+}
 
 
 def _unpartitioned_windows(plan: str) -> list[str]:

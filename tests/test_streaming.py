@@ -330,3 +330,48 @@ def test_agg_maintenance_invariant_to_batch_slicing(spark, sf_dir, tmp_path):
     )
     assert got_sliced == expected
     assert got_whole == expected
+
+
+def test_streaming_doc_quality_dedup_equals_batch(spark, sf_dir):
+    """Streamed quality-gate + (lang, content-hash) duplicate accounting
+    must equal the same pipeline run as a batch over the full corpus."""
+    from pyspark.sql import functions as F
+
+    from wordcount_spark.operators.queries_textstats import STOPWORDS, _toks
+    from wordcount_spark.streaming.streams import (
+        run_to_completion,
+        streaming_doc_quality_dedup,
+    )
+
+    got = {
+        (r["lang"], r["content_hash"]): r["n_copies"]
+        for r in run_to_completion(
+            streaming_doc_quality_dedup(spark, sf_dir), "t_doc_curation", "complete"
+        ).collect()
+    }
+
+    docs = spark.read.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+    toks = _toks()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    m = docs.select(
+        "lang",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", r"\p{Punct}", ""))
+        ).alias("n_punct"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).alias("n_stop"),
+    )
+    want = {
+        (r["lang"], r["content_hash"]): r["n_copies"]
+        for r in m.where(
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_punct").cast("double") / F.col("n_chars") < 0.1)
+            & (F.col("n_stop").cast("double") / F.col("n_tokens") > 0.05)
+        )
+        .groupBy("lang", F.md5("text").alias("content_hash"))
+        .agg(F.count("*").alias("n_copies"))
+        .collect()
+    }
+    assert got == want and len(got) > 0

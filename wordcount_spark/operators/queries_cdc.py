@@ -236,3 +236,85 @@ def apply_agg_deltas(
         )
         .filter(F.col("n_users") > 0)
     )
+
+
+@register(
+    "corpus_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, source, md5(text) AS h
+      FROM documents WHERE doc_id % 10 < 8
+    ),
+    new AS (
+      SELECT doc_id, source,
+             md5(CASE WHEN doc_id % 3 = 0 THEN text || ' [rev2]' ELSE text END) AS h
+      FROM documents WHERE doc_id % 10 >= 2
+    ),
+    j AS (
+      SELECT coalesce(o.source, n.source) AS source,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.h <> n.h THEN 'changed'
+                  ELSE 'unchanged' END AS cls
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT source,
+           CAST(sum(CASE WHEN cls = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           CAST(sum(CASE WHEN cls = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN cls = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(sum(CASE WHEN cls = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+    FROM j GROUP BY source ORDER BY source
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-crawl CDC: diff two snapshots of the documents table by
+    content hash — per source, how many docs were added, removed, changed
+    (same id, different content), or unchanged. The snapshots are carved
+    deterministically from the one test table (old = doc_id%10<8, new =
+    doc_id%10>=2 with every 3rd doc's text revised), so both engines see
+    identical inputs.
+
+    This is the ingest-planning query an incremental curation pipeline
+    runs before deciding what to re-clean/re-embed: 'changed' rows
+    invalidate downstream chunk fingerprints and embeddings; 'removed'
+    rows need tombstones in the serving index.
+
+    Scale: ONE full-outer join keyed on doc_id (bucketable — both
+    snapshots cluster by the same key, zero-exchange with bucketed
+    tables, cf. tests/test_bucketing.py) comparing 16-byte content
+    hashes, then an O(sources) conditional-sum rollup. No text moves
+    through the shuffle — only ids + hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 10 < 8).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    new = docs.where(F.col("doc_id") % 10 >= 2).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    cls = (
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .when(F.col("o.h") != F.col("n.h"), "changed")
+        .otherwise("unchanged")
+    )
+    j = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer").select(
+        F.coalesce(F.col("o.source"), F.col("n.source")).alias("source"),
+        cls.alias("cls"),
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            *[
+                F.sum((F.col("cls") == c).cast("long")).alias(f"n_{c}")
+                for c in ("added", "removed", "changed", "unchanged")
+            ]
+        )
+        .orderBy("source")
+    )

@@ -874,3 +874,113 @@ def _register_curriculum():
 
 
 _register_curriculum()
+
+
+BUDGET_FRAC = 0.6  # token budget as a fraction of the corpus total
+
+
+@register(
+    "mix_token_budget_waterfill",
+    f"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(sum(len(list_filter({{toks}}, x -> x <> ''))) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(floor({BUDGET_FRAC} * sum(n)) AS BIGINT) AS budget,
+             count(*) AS m
+      FROM per_source
+    ),
+    ordered AS (
+      SELECT source, n,
+             row_number() OVER w AS rn,
+             coalesce(sum(n) OVER (ORDER BY n, source
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS prefix_prev
+      FROM per_source
+      WINDOW w AS (ORDER BY n, source)
+    ),
+    lvl AS (
+      SELECT min(rn) AS k_star
+      FROM ordered, tot
+      WHERE CAST(budget - prefix_prev AS DOUBLE) / (m - rn + 1) <= n
+    ),
+    level AS (
+      SELECT CAST(floor(CAST(budget - prefix_prev AS DOUBLE) / (m - rn + 1)) AS BIGINT) AS cap
+      FROM ordered, tot, lvl WHERE rn = k_star
+    )
+    SELECT o.source, o.n AS n_tokens,
+           CASE WHEN l.k_star IS NULL THEN o.n
+                WHEN o.rn < l.k_star THEN o.n
+                ELSE least(o.n, lv.cap) END AS alloc_tokens,
+           CASE WHEN l.k_star IS NULL THEN TRUE ELSE o.rn < l.k_star END AS fully_kept
+    FROM ordered o
+    LEFT JOIN lvl l ON TRUE
+    LEFT JOIN level lv ON TRUE
+    ORDER BY o.source
+    """.format(toks=_TOKS_SQL),
+)
+def mix_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across sources: given a
+    budget of floor(0.6 × total) tokens, small sources are kept whole and
+    large sources are capped at a common level L chosen so the
+    allocations sum to (just under) the budget — the max-min-fair mixture
+    a pretraining run uses to stop one crawl from swallowing the budget.
+
+    The level is found in CLOSED FORM with prefix sums (sort sources by
+    size; the first rank where the per-remaining-source share drops to or
+    below that source's size fixes L) — no iteration, no driver loop.
+    Integer token counts everywhere; the one division is computed from
+    identical integers on both engines, and the cap is floor()'d (repo
+    threshold rule), so allocations are engine-exact.
+
+    Scale: per-source counts are ONE corpus aggregation; everything after
+    runs on the O(sources) frame — the global windows (ordering + prefix
+    sum) are over that tiny frame, never the corpus (allowlisted in
+    tests/test_plan_smells.py::GLOBAL_WINDOW_OK with this justification).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(_toks())).cast("long").alias("n")
+    )
+    # O(sources) frame from here on
+    per_source = per_source.cache()
+    tot = per_source.agg(
+        F.floor(F.lit(BUDGET_FRAC) * F.sum("n")).cast("long").alias("budget"),
+        F.count("*").alias("m"),
+    )
+    w = Window.orderBy("n", "source")
+    ordered = per_source.select(
+        "source",
+        "n",
+        F.row_number().over(w).alias("rn"),
+        F.coalesce(
+            F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ).alias("prefix_prev"),
+    ).crossJoin(F.broadcast(tot))
+    share = (F.col("budget") - F.col("prefix_prev")).cast("double") / (
+        F.col("m") - F.col("rn") + 1
+    )
+    lvl = ordered.where(share <= F.col("n")).agg(F.min("rn").alias("k_star"))
+    level = (
+        ordered.join(F.broadcast(lvl), F.col("rn") == F.col("k_star"))
+        .select(F.floor(share).cast("long").alias("cap"))
+    )
+    return (
+        ordered.crossJoin(F.broadcast(lvl))
+        .crossJoin(F.broadcast(level))
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            F.when(F.col("k_star").isNull() | (F.col("rn") < F.col("k_star")), F.col("n"))
+            .otherwise(F.least(F.col("n"), F.col("cap")))
+            .alias("alloc_tokens"),
+            F.when(F.col("k_star").isNull(), F.lit(True))
+            .otherwise(F.col("rn") < F.col("k_star"))
+            .alias("fully_kept"),
+        )
+        .orderBy("source")
+    )

@@ -107,3 +107,17 @@ def q_streaming_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wordcount_spark.streaming.streams import streaming_agg_maintenance
 
     return streaming_agg_maintenance(spark, sf_dir)
+
+
+@register("streaming_doc_quality_dedup", eager=True)  # rows-only: streaming op
+def q_streaming_doc_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation: quality gate (narrow, pre-state) +
+    per-(lang, content-hash) duplicate accounting as the single streaming
+    aggregation (batch twin: the gate+dedup prefix of the oracle-backed
+    ``pipeline_curation``)."""
+    from wordcount_spark.streaming.streams import streaming_doc_quality_dedup
+
+    return run_to_completion(
+        streaming_doc_quality_dedup(spark, sf_dir), "q_streaming_doc_curation",
+        "complete",
+    )

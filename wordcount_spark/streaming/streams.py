@@ -414,3 +414,43 @@ def streaming_agg_maintenance(
     finally:
         q.stop()
     return state["agg"].orderBy("event_type")
+
+
+def streaming_doc_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming document curation: the C4/Gopher-style quality gate as a
+    NARROW per-batch filter, then duplicate accounting at (lang,
+    content-hash) grain as the one streaming aggregation — the ingest
+    shape of ``pipeline_curation`` (streaming forbids chained
+    aggregations, so survivor-count rollups happen downstream of the
+    per-content state, exactly as they would off a changelog sink).
+
+    State = one row per distinct surviving (lang, content_hash) — bounded
+    by distinct-content cardinality, the same state a streaming exact
+    dedup keeps. The gate prunes BEFORE state, so garbage never enters.
+    tests/test_streaming.py proves stream ≡ batch on replay."""
+    from wordcount_spark.operators.queries_textstats import STOPWORDS, _toks
+
+    docs = _stream_table(spark, sf_dir, "documents")
+    toks = _toks()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    m = docs.select(
+        "lang",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"\p{Punct}", ""))
+        ).alias("n_punct"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).alias(
+            "n_stop"
+        ),
+    )
+    kept = m.where(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_punct").cast("double") / F.col("n_chars") < 0.1)
+        & (F.col("n_stop").cast("double") / F.col("n_tokens") > 0.05)
+    )
+    return kept.groupBy("lang", F.md5("text").alias("content_hash")).agg(
+        F.count("*").alias("n_copies")
+    )
