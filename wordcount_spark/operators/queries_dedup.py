@@ -417,6 +417,10 @@ def _register_pipeline_curation():
                 ).alias("r"),
             )
             .select("doc_id", "r.lang", "r.text", "r.n_tokens")
+            # cached: the LSH branch (shingle→minhash→pairs) and the final
+            # anti-join both consume the survivors — without the cache the
+            # scan+gate+exact-dedup lineage runs twice
+            .cache()
         )
         sigs = minhash_signatures(doc_shingles(k), num_hashes=32, hash_mode="md5")
         pairs = lsh_candidate_pairs(sigs, bands=8, rows=4, hash_mode="md5")

@@ -312,7 +312,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithms must agree, which is the point.
     """
     und = _undirected_copurchase(spark, sf_dir)
-    deg = _degrees(und)
+    # cached: deg feeds the orientation (twice) AND the wedge count, and o
+    # feeds the adjacency build AND the edge scan — without the caches the
+    # basket self-expansion of lineitem re-runs up to 5x (no cross-branch
+    # exchange reuse). deg is node-cardinality; o is |E| rows of 3 longs —
+    # both standard pins for a triangle-count job at any scale.
+    deg = _degrees(und).cache()
     # orient: src = lower (degree, id) endpoint; struct comparison gives the
     # lexicographic (d, node) order in both engines
     du, dv = deg.alias("du"), deg.alias("dv")
@@ -327,6 +332,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
             F.when(lower_u, F.col("dv.d")).otherwise(F.col("du.d")).alias("ddst"),
         )
+        .cache()
     )
     # one pass builds adjacency, a second scans edges: a triangle x<y<z
     # (in (deg, id) order) is found exactly once, at edge (x→y), as
