@@ -41,3 +41,50 @@ def test_applyinpandas_ols_matches_builtin(spark, sf_dir):
     for k in want:
         assert got[k][0] == pytest.approx(want[k][0], abs=1e-3)
         assert got[k][1] == pytest.approx(want[k][1], abs=1e-1)
+
+
+def test_pgm_decoder_rejects_corrupt_payloads(spark):
+    """The real PGM decoder must actually PARSE — a corrupted magic or a
+    truncated pixel buffer raises instead of producing silent garbage."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from wordcount_spark.operators.multimodal import decode_pgm_features
+
+    good = b"P5\n2 2\n255\n" + bytes([1, 2, 3, 4])
+    rows = decode_pgm_features(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [1], "payload": [good]}))
+    ).collect()
+    assert rows[0]["sum_pixels"] == 10 and rows[0]["max_pixel"] == 4
+
+    for bad in (b"P6\n2 2\n255\n" + bytes(4), b"P5\n2 2\n255\n" + bytes(3)):
+        df = decode_pgm_features(
+            spark.createDataFrame(pd.DataFrame({"doc_id": [1], "payload": [bad]}))
+        )
+        with _pytest.raises(Exception):
+            df.collect()
+
+
+def test_wav_decoder_reads_header_fields(spark):
+    """sample_rate must come from the PARSED header, not assumption."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from wordcount_spark.operators.multimodal import decode_wav_features
+
+    samples = np.array([100, -200, 300], dtype="<i2")
+    data = samples.tobytes()
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    rows = decode_wav_features(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [7], "payload": [hdr + data]}))
+    ).collect()
+    r = rows[0]
+    assert r["sample_rate"] == 8000  # parsed, not the default 16000
+    assert r["n_samples"] == 3 and r["sum_abs"] == 600 and r["peak_abs"] == 300
+    assert r["sum_sq"] == 100 * 100 + 200 * 200 + 300 * 300

@@ -150,3 +150,92 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return resize_media(with_binary_payload(docs)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_decode_image",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             32 + doc_id % 32 AS width,
+             24 + doc_id % 16 AS height
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, width, height, width * height AS n_pixels,
+             list_transform(range(width * height),
+                            i -> (doc_id * 7919 + i * 104729) % 256) AS pix
+      FROM dims
+    )
+    SELECT doc_id, width, height, n_pixels,
+           CAST(list_sum(pix) AS BIGINT) AS sum_pixels,
+           CAST(list_min(pix) AS BIGINT) AS min_pixel,
+           CAST(list_max(pix) AS BIGINT) AS max_pixel
+    FROM px ORDER BY doc_id
+    """,
+)
+def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, no codec library: each doc gets a valid binary
+    PGM (P5) payload synthesized from doc_id inside one Arrow-batched UDF,
+    and a SECOND Arrow-batched UDF parses the header and reinterprets the
+    pixel bytes (numpy frombuffer) into integer-exact features. The bytes
+    cross the Arrow boundary between the two operators — the differential
+    oracle computes the same features straight from the pixel formula, so
+    encode → transfer → parse is checked end to end (any corruption,
+    endianness or slicing bug diverges it).
+
+    Scale: both steps are narrow mapInPandas over the payload column — no
+    shuffle; with lakehouse payloads the synth stage is replaced by the
+    parquet/object-store scan and the decode UDF is unchanged. Real-world
+    codecs (JPEG/PNG/FLAC) slot into the same decode signature when their
+    libraries exist (`multimodal._decode_real`)."""
+    from wordcount_spark.operators.multimodal import (
+        decode_pgm_features,
+        synth_pgm_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_pgm_features(synth_pgm_payload(docs)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_decode_audio",
+    """
+    WITH n AS (
+      SELECT doc_id, 256 + doc_id % 256 AS n_samples FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_samples,
+             list_transform(range(n_samples),
+                            i -> ((doc_id * 31 + i * 17) % 4096) - 2048) AS samples
+      FROM n
+    )
+    SELECT doc_id,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           n_samples,
+           CAST(list_sum(list_transform(samples, x -> abs(x))) AS BIGINT) AS sum_abs,
+           CAST(list_sum(list_transform(samples, x -> x * x)) AS BIGINT) AS sum_sq,
+           CAST(list_max(list_transform(samples, x -> abs(x))) AS BIGINT) AS peak_abs
+    FROM s ORDER BY doc_id
+    """,
+)
+def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, no codec library: valid RIFF/WAVE mono PCM16
+    payloads (44-byte header + little-endian int16 samples) synthesized
+    per doc, then parsed by a second Arrow-batched UDF that validates the
+    RIFF/fmt/data chunks, reads the sample rate FROM the header, and
+    reinterprets the PCM bytes into integer-exact loudness features
+    (sum|x|, sum x², peak). The oracle replays the sample formula in SQL —
+    the header round-trip is implicitly checked because sample_rate and
+    n_samples come from parsed bytes on the Spark side and from the
+    generator spec on the oracle side.
+
+    Scale: same narrow two-UDF shape as the image path; swap the synth
+    stage for the payload scan at 100 TB, decode unchanged."""
+    from wordcount_spark.operators.multimodal import (
+        decode_wav_features,
+        synth_wav_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_wav_features(synth_wav_payload(docs)).orderBy("doc_id")
