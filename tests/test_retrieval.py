@@ -102,3 +102,58 @@ def test_snapshot_diff_partitions_the_union(spark, queries):
     assert sum(r["n_changed"] for r in rows) > 0
     assert sum(r["n_added"] for r in rows) > 0
     assert sum(r["n_removed"] for r in rows) > 0
+
+
+def test_bm25_matches_independent_python_implementation(spark, queries):
+    """The SQL oracle shares the scoring formula with the Spark plan, so a
+    wrong formula would pass the differential check. This pins the scores
+    against an INDEPENDENT from-the-paper BM25 (Robertson/Sparck Jones,
+    k1=1.2 b=0.75, idf = ln((N-df+0.5)/(df+0.5)+1)) computed in plain
+    Python over the same corpus."""
+    import math
+    from collections import Counter
+
+    from wordcount_spark.operators.queries_retrieval import (
+        B,
+        K1,
+        QUERY_TERMS,
+        TOPK,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"].lower().split()
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    N = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / N
+    tfs = {d: Counter(t) for d, t in docs.items()}
+
+    def bm25(qid):
+        scores = {}
+        for term in QUERY_TERMS[qid]:
+            df = sum(1 for c in tfs.values() if c[term] > 0)
+            if df == 0:
+                continue
+            idf = round(math.log((N - df + 0.5) / (df + 0.5) + 1.0), 4)
+            for d, c in tfs.items():
+                tf = c[term]
+                if tf == 0:
+                    continue
+                dl = len(docs[d])
+                contrib = round(
+                    idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl)), 6
+                )
+                scores[d] = scores.get(d, 0.0) + contrib
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:TOPK]
+        return [(d, round(s, 6)) for d, s in top]
+
+    got = {}
+    for r in queries["retrieval_bm25_topk"](spark, SF_DIR).collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid in QUERY_TERMS:
+        want = bm25(qid)
+        rows = sorted(got[qid])
+        assert len(rows) == len(want)
+        for (rank, doc_id, score), (wd, ws) in zip(rows, want):
+            assert doc_id == wd, (qid, rank, doc_id, wd)
+            assert abs(score - ws) < 1e-6, (qid, doc_id, score, ws)
