@@ -46,6 +46,9 @@ BNLJ_OK = {
     "retrieval_hybrid_rrf",
     # 1-row budget/level scalars fanned onto the O(sources) frame
     "mix_token_budget_waterfill",
+    # 20-row broadcast query-vector fan-out (self-exclusion is a
+    # non-equi predicate, so the broadcast join is nested-loop by design)
+    "eval_knn_label_precision",
 }
 
 # streaming / iterative queries execute eagerly inside the callable —

@@ -524,3 +524,78 @@ def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "true_label", F.col("label").alias("pred_label"), "votes")
         .orderBy("qid")
     )
+
+
+@register(
+    "eval_knn_label_precision",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+               FROM embeddings WHERE vec_id < 20),
+    sims AS (
+      SELECT q.qid, q.qlabel, e.vec_id, e.label,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+             / ({{nrm_q}} * {{nrm_e}}) AS cos
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.qid
+    ),
+    topk AS (
+      SELECT qid, qlabel, label,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+      FROM sims
+    )
+    SELECT qid, qlabel,
+           CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+           CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS DOUBLE) / 10.0
+             AS p_at_10
+    FROM topk WHERE rnk <= 10
+    GROUP BY qid, qlabel ORDER BY qid
+    """.format(nrm_q=_NORM_SQL.format(v="q.qe"), nrm_e=_NORM_SQL.format(v="e.embedding")),
+)
+def eval_knn_label_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation as a query: precision@10 of exact cosine kNN
+    against the embedding table's class labels (a neighbor 'hits' when it
+    shares the query's label) — the recall/precision audit an ANN rollout
+    runs against the brute-force ground truth before trading exactness
+    for speed (compare: tests/test_similarity_recall.py bounds IVF/PQ
+    recall AGAINST this same exact scan).
+
+    Scale: the query set broadcasts (20 rows); the corpus is scanned once
+    and never shuffled — per-query top-10 is a WindowGroupLimit. Swap the
+    scan for the IVF/PQ candidate feed to evaluate those indexes with the
+    same query."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            cosine(F.col("qe"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .groupBy("qid", "qlabel")
+        .agg(
+            F.sum((F.col("label") == F.col("qlabel")).cast("long")).alias("n_match"),
+        )
+        .select(
+            "qid",
+            "qlabel",
+            "n_match",
+            (F.col("n_match").cast("double") / 10.0).alias("p_at_10"),
+        )
+        .orderBy("qid")
+    )

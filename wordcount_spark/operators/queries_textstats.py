@@ -1249,3 +1249,38 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _register_langid_confusion():
+    """Closure: compose the registered lang-id oracle SQL so the confusion
+    matrix cannot drift from the classifier it evaluates."""
+    from wordcount_spark.registry import ORACLES
+
+    @register(
+        "eval_langid_confusion",
+        f"""
+        WITH preds AS ({ORACLES["text_lang_id"]})
+        SELECT true_lang, pred_lang, count(*) AS n
+        FROM preds GROUP BY true_lang, pred_lang
+        ORDER BY true_lang, pred_lang
+        """,
+    )
+    def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Classifier evaluation as a query: the confusion matrix of the
+        stopword-lexicon language ID against the corpus's true labels —
+        the audit a curation pipeline runs before trusting a cheap
+        classifier to route documents. Composes the REGISTERED lang-id
+        operator (Spark side calls the same function; oracle embeds the
+        same SQL), so the evaluation can never drift from the model.
+
+        Scale: the per-doc scoring is the narrow lexicon-hit map; the
+        matrix is an O(langs²) aggregate — one tiny shuffle."""
+        preds = text_lang_id(spark, sf_dir)
+        return (
+            preds.groupBy("true_lang", "pred_lang")
+            .agg(F.count("*").alias("n"))
+            .orderBy("true_lang", "pred_lang")
+        )
+
+
+_register_langid_confusion()
