@@ -70,3 +70,67 @@ def test_bucketed_join_matches_shuffle_join(spark, sf_dir, bucketed):
     got = _join(o, l).collect()
     key = lambda r: r["o_orderstatus"]
     assert sorted(got, key=key) == sorted(want, key=key)
+
+
+def test_snapshot_diff_join_is_shuffle_free_when_bucketed(spark, sf_dir):
+    """corpus_snapshot_diff's docstring claims the full-outer join is
+    bucketable — prove it: write both snapshots bucketed by doc_id and
+    assert the diff join plans with NO exchange under it, with results
+    identical to the unbucketed query."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.where(F.col("doc_id") % 10 < 8).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    new = docs.where(F.col("doc_id") % 10 >= 2).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    old.write.bucketBy(8, "doc_id").sortBy("doc_id").mode("overwrite").saveAsTable(
+        "snap_old_b"
+    )
+    new.write.bucketBy(8, "doc_id").sortBy("doc_id").mode("overwrite").saveAsTable(
+        "snap_new_b"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table("snap_old_b").alias("o")
+        n = spark.table("snap_new_b").alias("n")
+        cls = (
+            F.when(F.col("o.doc_id").isNull(), "added")
+            .when(F.col("n.doc_id").isNull(), "removed")
+            .when(F.col("o.h") != F.col("n.h"), "changed")
+            .otherwise("unchanged")
+        )
+        j = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer").select(
+            F.coalesce(F.col("o.source"), F.col("n.source")).alias("source"),
+            cls.alias("cls"),
+        )
+        diff = j.groupBy("source").agg(
+            *[
+                F.sum((F.col("cls") == c).cast("long")).alias(f"n_{c}")
+                for c in ("added", "removed", "changed", "unchanged")
+            ]
+        )
+        plan = formatted_plan(diff)
+        assert "SortMergeJoin FullOuter" in plan or "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(doc_id" not in plan  # bucketed: no shuffle
+        from wordcount_spark.registry import get_queries
+
+        want = {
+            r["source"]: (r["n_added"], r["n_removed"], r["n_changed"], r["n_unchanged"])
+            for r in get_queries()["corpus_snapshot_diff"](spark, sf_dir).collect()
+        }
+        got = {
+            r["source"]: (r["n_added"], r["n_removed"], r["n_changed"], r["n_unchanged"])
+            for r in diff.collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS snap_old_b")
+        spark.sql("DROP TABLE IF EXISTS snap_new_b")
