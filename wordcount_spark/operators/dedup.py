@@ -78,6 +78,9 @@ def jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
     real scale drop stop-shingles by document frequency first), one shuffle
     on (a, b). Never materializes the n² cross product.
     """
+    # consumed 3x (sizes + both self-join sides) — pin or the upstream
+    # shingling explodes the corpus three times (MEMORY_AND_DISK)
+    shingles = shingles.cache()
     sizes = shingles.groupBy("id").agg(F.count("*").alias("sz"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -209,7 +212,10 @@ def lsh_candidate_pairs(
         F.posexplode(F.array(*[bucket_of(bnd) for bnd in range(bands)])).alias(
             "band", "bucket"
         ),
-    )
+    ).cache()  # self-joined below: without the pin the whole shingle →
+    # minhash lineage executes once per join side (no cross-branch
+    # exchange reuse). ids × bands rows — the banded index production LSH
+    # materializes anyway (MEMORY_AND_DISK, spills instead of OOM)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
