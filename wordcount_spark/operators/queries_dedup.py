@@ -283,7 +283,10 @@ def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    ).select(
+        "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
+    ).cache()  # self-joined: pin or the 60-bit fingerprint aggregation
+    # (token explode + bit sums) runs once per join side
     a, b = banded.alias("a"), banded.alias("b")
     ham = hamming_distance(F.col("a.simhash"), F.col("b.simhash"))
     return (
@@ -581,7 +584,7 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(
             F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), 1, 80
         ).alias("fp"),
-    )
+    ).cache()  # self-joined: pin or the full-text normalize runs per side
     a, b = fp.alias("a"), fp.alias("b")
     dist = F.levenshtein(F.col("a.fp"), F.col("b.fp"))
     return (

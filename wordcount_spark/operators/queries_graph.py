@@ -82,6 +82,9 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        # self-joined below: pin or the distinct (a full shuffle of the
+        # fact projection) runs once per join side
+        .cache()
     )
     edges = (
         po.alias("a")
