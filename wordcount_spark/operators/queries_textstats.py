@@ -252,8 +252,13 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative to the corpus), and the per-doc top-k window."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(_toks()).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # (doc, term) grain — Zipf-compressed vs the raw token stream; pinned
+    # because both the df derivation and the scoring join consume it
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).cache()
+    # df(term) = row count of the per-(doc,term) frame — derived from tf,
+    # so the corpus token stream is exploded exactly ONCE (a second
+    # countDistinct pass over raw tokens would re-scan everything)
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n_docs = docs.count()  # scalar: fixed at plan time, like a broadcast var
     # round(…, 6): ln() is not IEEE-correctly-rounded, so Java and libm
     # differ in the last ulp — rank and emit on the rounded value so the
@@ -998,6 +1003,9 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bg")
         .agg(F.count("*").alias("c_ab"))
+        # distinct-bigram grain (Zipfian-small); pinned — the total and the
+        # support-filtered model branch both consume it
+        .cache()
     )
     n_bi = bgall.agg(F.sum("c_ab").cast("double").alias("n_bi"))
     bgc = bgall.where(F.col("c_ab") >= 5)
