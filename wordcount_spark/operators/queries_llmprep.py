@@ -232,7 +232,9 @@ def chunk_dedup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.array_join(F.slice("toks", F.col("start") + 1, F.lit(CHUNK_W)), " ")
         ).alias("h"),
-    )
+    ).cache()  # (doc, chunk-hash) grain; the owner-count branch and the
+    # join-back both consume it — without the pin the tokenize + window
+    # fingerprint lineage runs twice
     owners = chunks.groupBy("h").agg(
         F.count_distinct("doc_id").alias("nd")
     )
