@@ -77,6 +77,8 @@ GLOBAL_WINDOW_OK: set[str] = {
     # per-SOURCE aggregate — an O(sources) frame (a handful of rows at any
     # corpus size), never the corpus
     "mix_token_budget_waterfill",
+    # reverse-cumulative pair count over the 10-row decile histogram
+    "dedup_threshold_sweep",
 }
 
 

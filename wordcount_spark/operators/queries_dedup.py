@@ -854,3 +854,59 @@ def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+@register(
+    "dedup_threshold_sweep",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS ida, b.id AS idb, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    j AS (
+      SELECT CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jac
+      FROM common
+      JOIN sizes sa ON sa.id = ida JOIN sizes sb ON sb.id = idb
+    )
+    SELECT CAST(floor(jac * 10) AS BIGINT) AS jaccard_decile,
+           count(*) AS n_pairs,
+           CAST(sum(count(*)) OVER (ORDER BY CAST(floor(jac * 10) AS BIGINT) DESC
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_pairs_at_or_above
+    FROM j GROUP BY 1 ORDER BY jaccard_decile
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold TUNING curve: the histogram of n-gram Jaccard over
+    every candidate pair (decile buckets) plus the reverse-cumulative
+    pair count — i.e., for each threshold t, how many pairs a `jaccard ≥ t`
+    dedup would kill. This is the one-pass sweep you run BEFORE picking
+    the 0.5 the production pipeline hardcodes (and before choosing LSH
+    band/row parameters to center the S-curve on it).
+
+    Scale: identical plan shape to ``dedup_ngram_jaccard`` (inverted
+    shingle index — pairs only exist where shingles collide) minus the
+    threshold filter; the histogram is a 10-row aggregate, and the
+    cumulative sum runs over those 10 rows (the window is unpartitioned
+    but O(deciles) — allowlisted)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(doc_shingles(docs), 0.0)
+    hist = (
+        pairs.groupBy(
+            F.floor(F.col("jaccard") * 10).cast("long").alias("jaccard_decile")
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    w = (
+        Window.orderBy(F.desc("jaccard_decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        hist.withColumn("n_pairs_at_or_above", F.sum("n_pairs").over(w).cast("long"))
+        .orderBy("jaccard_decile")
+    )

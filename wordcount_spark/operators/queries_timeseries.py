@@ -314,3 +314,76 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         day_est.join(day_exact, ["bucket_day", "event_type"])
         .orderBy("bucket_day", "event_type")
     )
+
+
+@register(
+    "events_lateness_watermark_audit",
+    """
+    WITH l AS (
+      SELECT user_id,
+             CAST(greatest(0, epoch_us(max(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY event_id
+                                                     ROWS UNBOUNDED PRECEDING))
+                              - epoch_us(ts)) AS BIGINT) AS late_us
+      FROM events
+    )
+    SELECT CASE WHEN late_us = 0 THEN 0
+                ELSE least(CAST(floor(log10(CAST(late_us AS DOUBLE) / 1000000.0)
+                                      + 4) AS BIGINT), 8) END AS lateness_bucket,
+           count(*) AS n_events,
+           max(late_us) AS max_late_us
+    FROM l
+    WHERE late_us = 0 OR late_us >= 100
+    GROUP BY 1 ORDER BY lateness_bucket
+    """,
+)
+def events_lateness_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay sizing audit: how far BEHIND the per-user high-water
+    mark do events arrive? Arrival order is event_id (the ingestion
+    sequence); lateness = running max(ts) so far minus this event's ts.
+    Bucketed on a log10-seconds scale (bucket 0 = in order, 1 ≈ <1 ms,
+    4 ≈ <1 s, … capped at 8) with the max observed lateness per bucket —
+    exactly the distribution you read before choosing the
+    `withWatermark` delay for the streaming queries (too small drops the
+    tail; too large bloats state). Sub-100 µs stragglers are folded out
+    so the log bucket edges sit far from float noise.
+
+    Scale: ONE shuffle on user_id for the running-max window (same
+    partitioning the sessionizers use), then an O(buckets) rollup.
+    Integer microsecond arithmetic end to end; the only float op is the
+    log10 bucket index, whose inputs are exact integers ≥ 100 µs (no
+    value sits near a bucket edge within double precision)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late_us = F.greatest(
+        F.lit(0),
+        F.unix_micros(F.max("ts").over(w)) - F.unix_micros("ts"),
+    ).cast("long")
+    l = ev.select(late_us.alias("late_us"))
+    bucket = (
+        F.when(F.col("late_us") == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    F.log10(F.col("late_us").cast("double") / 1000000.0) + 4
+                ).cast("long"),
+                F.lit(8),
+            )
+        )
+        .alias("lateness_bucket")
+    )
+    return (
+        l.where((F.col("late_us") == 0) | (F.col("late_us") >= 100))
+        .groupBy(bucket)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("late_us").alias("max_late_us"),
+        )
+        .orderBy("lateness_bucket")
+    )
