@@ -87,10 +87,15 @@ def main():
     oracles = get_oracles()
     spark = get_spark("driver_mirror", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
 
+    # calibrate against the NEWEST driver round on disk (r01 today; later
+    # rounds supersede it automatically)
     known = {}
-    r1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "CORRECTNESS_r01.json")
-    if os.path.exists(r1):
-        known = {k: v.get("hash_match") for k, v in json.load(open(r1)).items()}
+    import glob
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    if rounds:
+        known = {k: v.get("hash_match") for k, v in json.load(open(rounds[-1])).items()}
 
     if args.queries:
         names = args.queries
