@@ -67,8 +67,8 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_nationkey,
            ntile(4) OVER w AS quartile,
-           round(percent_rank() OVER w, 6) AS pr,
-           round(cume_dist() OVER w, 6) AS cd
+           floor((percent_rank() OVER w) * 1000000.0 + 1e-6) / 1000000.0 + 0.0 AS pr,
+           floor((cume_dist() OVER w) * 1000000.0 + 1e-6) / 1000000.0 + 0.0 AS cd
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     ORDER BY c_custkey
@@ -77,15 +77,20 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: quartile bucketing + relative rank
     per nation. Partitioned by nation (25-way parallel window sort), with
-    c_custkey as the tiebreak so assignment is total-order deterministic."""
+    c_custkey as the tiebreak so assignment is total-order deterministic.
+    percent_rank/cume_dist are RATIOS of small integers, so round(…,6)
+    hits exact .…5 ties that Spark and DuckDB break differently (caught
+    at sf0.1) — ``stable_round`` truncates instead."""
+    from wordcount_spark.operators.relational import stable_round
+
     c = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return c.select(
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        stable_round(F.percent_rank().over(w), 6).alias("pr"),
+        stable_round(F.cume_dist().over(w), 6).alias("cd"),
     ).orderBy("c_custkey")
 
 

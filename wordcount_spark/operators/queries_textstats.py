@@ -1200,8 +1200,8 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m
     )
     SELECT doc_id, n_tokens,
-           floor(z * 10000) / 10000 + 0.0 AS logit,
-           floor(1.0 / (1.0 + exp(-z)) * 10000) / 10000 + 0.0 AS p_keep,
+           floor(z * 10000.0 + 1e-6) / 10000.0 + 0.0 AS logit,
+           floor(1.0 / (1.0 + exp(-z)) * 10000.0 + 1e-6) / 10000.0 + 0.0 AS p_keep,
            z > 0 AS keep
     FROM z ORDER BY doc_id
     """,
@@ -1220,8 +1220,10 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios (identical expression order both engines → identical IEEE
     bits, so `keep = z > 0` cannot flip); exp() drifts by ulps between
     libms and round() half-breaking differs per engine, so p_keep and the
-    logit are floor-truncated to 4dp (+ 0.0 canonicalizes -0.0) — the
-    repo's threshold rule.
+    logit are floor-truncated to 4dp with a 1e-6 boundary nudge (the
+    ratio-sum z lands EXACTLY on the 1e-4 lattice for round token counts,
+    where bare floor() flips on ulp drift — caught at sf0.1; see
+    relational.stable_round). + 0.0 canonicalizes -0.0.
 
     Scale: narrow map over one scan — no shuffle at all except the
     output sort; composes in front of any dedup stage exactly like the
@@ -1251,8 +1253,10 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.select(
             "doc_id",
             "n_tokens",
-            (F.floor(z * 10000) / 10000 + 0.0).alias("logit"),
-            (F.floor(1.0 / (1.0 + F.exp(-z)) * 10000) / 10000 + 0.0).alias("p_keep"),
+            (F.floor(z * 10000.0 + 1e-6) / 10000.0 + 0.0).alias("logit"),
+            (F.floor(1.0 / (1.0 + F.exp(-z)) * 10000.0 + 1e-6) / 10000.0 + 0.0).alias(
+                "p_keep"
+            ),
             (z > 0).alias("keep"),
         )
         .orderBy("doc_id")

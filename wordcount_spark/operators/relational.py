@@ -32,6 +32,28 @@ def dec(col: Column | str) -> Column:
     return F.col(col).cast(DEC) if isinstance(col, str) else col.cast(DEC)
 
 
+def stable_round(col: Column, digits: int) -> Column:
+    """Engine-stable d-digit truncation for doubles that can land ON the
+    rounding lattice (ratios of small integers: percent_rank, feature
+    ratios). ``round()`` breaks ties differently per engine (Spark rounds
+    the shortest decimal repr, DuckDB the exact binary value), so a value
+    within an ulp of ``x.…5`` flips. floor() moves the hazard to INTEGER
+    lattice points — which ratio data hits exactly — so a 1e-6 nudge
+    shifts the boundary off the lattice: cross-engine ulp noise (~1e-12
+    relative) cannot straddle it, and real values a full 1e-6 below an
+    integer are not lattice points of ratio-valued data. ``+ 0.0``
+    canonicalizes -0.0. SQL twin: ``floor(x * 1eD + 1e-6) / 1eD + 0.0``.
+    """
+    scale = float(10 ** digits)
+    return F.floor(col * scale + 1e-6) / scale + 0.0
+
+
+def stable_round_sql(expr: str, digits: int) -> str:
+    """DuckDB rendering of ``stable_round`` (must stay textually parallel)."""
+    scale = float(10 ** digits)
+    return f"floor(({expr}) * {scale} + 1e-6) / {scale} + 0.0"
+
+
 def dbl(col: Column | str) -> Column:
     """Canonical OUTPUT form of an exact decimal: cast to DOUBLE.
 
