@@ -137,20 +137,32 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            min(l_quantity) AS min_qty,
            max(l_quantity) AS max_qty,
-           CAST(round(avg(CAST(l_quantity AS DECIMAL(18,2))), 6) AS DOUBLE) AS avg_qty,
+           floor((CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+                 * 1000000.0 + 1e-6) / 1000000.0 + 0.0 AS avg_qty,
            round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 6) AS median_qty
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """min/max/avg + exact interpolated median (Spark ``percentile``)."""
+    """min/max/avg + exact interpolated median (Spark ``percentile``).
+
+    avg is spelled exact-decimal-sum → double → divide (identical IEEE
+    doubles both engines) and stable_round'd: engine-native avg() would
+    round a DECIMAL on Spark but a DOUBLE in DuckDB, which breaks ties at
+    the 6th decimal differently. The median's interpolated midpoint of
+    2dp values has zeros in decimal digits 4-6, so round(…,6) has no tie
+    surface there."""
+    from wordcount_spark.operators.relational import stable_round
+
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.min("l_quantity").alias("min_qty"),
             F.max("l_quantity").alias("max_qty"),
-            dbl(F.round(F.avg(dec("l_quantity")), 6)).alias("avg_qty"),
+            stable_round(
+                F.sum(dec("l_quantity")).cast("double") / F.count("*"), 6
+            ).alias("avg_qty"),
             F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
         )
         .orderBy("l_returnflag")
