@@ -81,6 +81,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # contention context: this box is shared — external load inflates
+        # wall-clock up to ~2x (measured). Read total/per-query times
+        # against this; load1 <= cpus means the numbers are clean.
+        "host_load_avg_1m": round(os.getloadavg()[0], 2),
     }
 
     # Apples-to-apples vs the reference's ONE compute-derived number: its
