@@ -44,14 +44,17 @@ def test_bm25_ranks_contiguous_and_docs_match_terms(spark, queries):
 def test_rrf_score_consistent_with_ranks(spark, queries):
     from wordcount_spark.operators.queries_retrieval import RRF_K
 
+    import math
+
     rows = queries["retrieval_hybrid_rrf"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
-        want = round(
-            (1.0 / (RRF_K + r["bm25_rank"]) if r["bm25_rank"] else 0.0)
-            + (1.0 / (RRF_K + r["cos_rank"]) if r["cos_rank"] else 0.0),
-            6,
+        raw = (1.0 / (RRF_K + r["bm25_rank"]) if r["bm25_rank"] else 0.0) + (
+            1.0 / (RRF_K + r["cos_rank"]) if r["cos_rank"] else 0.0
         )
+        # mirror stable_round (ADVICE r2: a rounded ratio-sum is the exact
+        # lattice class plain round() tie-breaks differently per engine)
+        want = math.floor(raw * 1e6 + 1e-6) / 1e6 + 0.0
         assert abs(r["rrf_score"] - want) < 1e-9, r
         assert r["bm25_rank"] > 0 or r["cos_rank"] > 0
 

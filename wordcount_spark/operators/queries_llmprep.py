@@ -971,9 +971,14 @@ def mix_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordered.join(F.broadcast(lvl), F.col("rn") == F.col("k_star"))
         .select(F.floor(share).cast("long").alias("cap"))
     )
+    # `level` mirrors the oracle's LEFT JOIN ... ON TRUE: if no rank ever
+    # satisfies the level condition (k_star NULL — only possible if
+    # BUDGET_FRAC were raised to >= 1), `level` is EMPTY; a cross join
+    # would annihilate every row while the oracle keeps them fully kept.
+    # lvl itself is a global agg — always exactly one row, cross join safe.
     return (
         ordered.crossJoin(F.broadcast(lvl))
-        .crossJoin(F.broadcast(level))
+        .join(F.broadcast(level), F.lit(True), "left")
         .select(
             "source",
             F.col("n").alias("n_tokens"),

@@ -9,7 +9,9 @@ per-term BM25 contributions are rounded to 6dp and summed as exact
 DECIMAL(18,6) so the per-doc score does not depend on float summation
 order; ranks are computed over the rounded scores with doc_id tiebreaks,
 so rank assignment is identical across engines; RRF adds exactly two
-reciprocal terms in a fixed expression order (no aggregation).
+reciprocal terms in a fixed expression order (no aggregation) and the
+sum — a ratio of small integers, the exact lattice class the repo's
+rounding rule covers — goes through ``stable_round`` on both sides.
 
 Scale: the corpus token scan is filtered to the query vocabulary BEFORE
 the explode aggregates (9 terms — the tf frame is O(matching docs), not
@@ -25,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from wordcount_spark.operators.relational import stable_round, stable_round_sql
 from wordcount_spark.registry import register
 from wordcount_spark.sources.readers import load_table
 
@@ -74,8 +77,8 @@ _BM25_SQL = f"""
       SELECT tf.qid, tf.doc_id,
              CAST(round(
                round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 4)
-               * tf * ({K1} + 1.0)
-               / (tf + {K1} * (1.0 - {B} + {B} * dl.dl / avgdl)),
+               * ((tf * ({K1} + 1.0))
+                  / (tf + {K1} * (1.0 - {B} + {B} * dl.dl / avgdl))),
              6) AS DECIMAL(18,6)) AS c
       FROM tf
       JOIN df USING (term)
@@ -221,8 +224,9 @@ def _register_hybrid():
              coalesce(bpool.doc_id, cpool.doc_id) AS doc_id,
              coalesce(rb, 0) AS bm25_rank,
              coalesce(rc, 0) AS cos_rank,
-             round(coalesce(1.0 / ({RRF_K} + rb), 0.0)
-                   + coalesce(1.0 / ({RRF_K} + rc), 0.0), 6) AS rrf_score
+             {stable_round_sql(f"coalesce(1.0 / ({RRF_K} + rb), 0.0)"
+                               f" + coalesce(1.0 / ({RRF_K} + rc), 0.0)", 6)}
+               AS rrf_score
       FROM bpool FULL OUTER JOIN cpool USING (qid, doc_id)
     )
     SELECT qid, rank, doc_id, bm25_rank, cos_rank, rrf_score FROM (
@@ -274,7 +278,7 @@ def _register_hybrid():
                 "doc_id",
                 F.coalesce("rb", F.lit(0)).alias("bm25_rank"),
                 F.coalesce("rc", F.lit(0)).alias("cos_rank"),
-                F.round(
+                stable_round(
                     F.coalesce(1.0 / (RRF_K + F.col("rb")), F.lit(0.0))
                     + F.coalesce(1.0 / (RRF_K + F.col("rc")), F.lit(0.0)),
                     6,

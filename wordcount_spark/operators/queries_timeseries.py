@@ -329,11 +329,12 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CASE WHEN late_us = 0 THEN 0
                 ELSE least(CAST(floor(log10(CAST(late_us AS DOUBLE) / 1000000.0)
-                                      + 4) AS BIGINT), 8) END AS lateness_bucket,
+                                      + 4.0 + 1e-9) AS BIGINT), 8) END
+             AS lateness_bucket,
            count(*) AS n_events,
            max(late_us) AS max_late_us
     FROM l
-    WHERE late_us = 0 OR late_us >= 100
+    WHERE late_us = 0 OR late_us >= 1000
     GROUP BY 1 ORDER BY lateness_bucket
     """,
 )
@@ -341,18 +342,24 @@ def events_lateness_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFra
     """Watermark-delay sizing audit: how far BEHIND the per-user high-water
     mark do events arrive? Arrival order is event_id (the ingestion
     sequence); lateness = running max(ts) so far minus this event's ts.
-    Bucketed on a log10-seconds scale (bucket 0 = in order, 1 ≈ <1 ms,
-    4 ≈ <1 s, … capped at 8) with the max observed lateness per bucket —
-    exactly the distribution you read before choosing the
-    `withWatermark` delay for the streaming queries (too small drops the
-    tail; too large bloats state). Sub-100 µs stragglers are folded out
-    so the log bucket edges sit far from float noise.
+    Bucketed on a log10-seconds scale (bucket 0 = strictly in order;
+    bucket 1 = [1 ms, 10 ms), 4 = [1 s, 10 s), … capped at 8) with the
+    max observed lateness per bucket — exactly the distribution you read
+    before choosing the `withWatermark` delay for the streaming queries
+    (too small drops the tail; too large bloats state). Sub-millisecond
+    stragglers are folded out entirely (they never inform a watermark
+    choice), so bucket 0 is purely the in-order population — no bucket
+    conflates the two.
 
     Scale: ONE shuffle on user_id for the running-max window (same
     partitioning the sessionizers use), then an O(buckets) rollup.
     Integer microsecond arithmetic end to end; the only float op is the
-    log10 bucket index, whose inputs are exact integers ≥ 100 µs (no
-    value sits near a bucket edge within double precision)."""
+    log10 bucket index. Inputs at exact powers of ten (1000 µs, 10000 µs,
+    …) land ON a log10 bucket edge where a 1-ulp libm difference between
+    the engines would flip floor(), so a +1e-9 nudge inside the floor
+    pins edge values to the upper bucket on both engines (same device as
+    ``stable_round``; real lateness values a full 1e-9 below an edge in
+    log space don't occur at integer microsecond granularity)."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -371,7 +378,9 @@ def events_lateness_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFra
         .otherwise(
             F.least(
                 F.floor(
-                    F.log10(F.col("late_us").cast("double") / 1000000.0) + 4
+                    F.log10(F.col("late_us").cast("double") / 1000000.0)
+                    + 4.0
+                    + 1e-9
                 ).cast("long"),
                 F.lit(8),
             )
@@ -379,7 +388,7 @@ def events_lateness_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFra
         .alias("lateness_bucket")
     )
     return (
-        l.where((F.col("late_us") == 0) | (F.col("late_us") >= 100))
+        l.where((F.col("late_us") == 0) | (F.col("late_us") >= 1000))
         .groupBy(bucket)
         .agg(
             F.count("*").alias("n_events"),
