@@ -59,49 +59,6 @@ def test_every_query_has_oracle_or_is_flagged():
     assert set(missing) <= allowed_rows_only, f"queries without oracle: {missing}"
 
 
-def test_priority_block_is_valid_and_category_spanning():
-    """The driver samples queries in registration order (round 1: first 50
-    only). registry.PRIORITY must stay (a) resolvable, (b) fully
-    oracle-backed, (c) inclusive of every round-1 hash failure, and
-    (d) category-spanning — so future registrations can't silently push
-    the correctness sample back onto one family."""
-    from wordcount_spark.registry import PRIORITY, get_oracles, get_queries
-
-    queries, oracles = get_queries(), get_oracles()
-    assert len(PRIORITY) == len(set(PRIORITY))
-    missing = [n for n in PRIORITY if n not in queries]
-    assert not missing, f"PRIORITY names not in registry: {missing}"
-    first = list(queries)[: len(PRIORITY)]
-    assert first == list(PRIORITY)
-    no_oracle = [n for n in PRIORITY if n not in oracles]
-    assert not no_oracle, f"PRIORITY entries without oracle: {no_oracle}"
-
-    ROUND1_FAILURES = {
-        "wordcount_totals", "q1_pricing_summary", "agg_rollup", "agg_cube",
-        "agg_stats", "join_broadcast_dims", "q3_shipping_priority", "join_outer",
-        "window_running_total", "unpivot_balances", "agg_histogram",
-        "scalar_null_funcs", "agg_argmax_join", "subquery_correlated",
-        "scalar_conditional", "pivot_status_by_priority",
-    }
-    assert ROUND1_FAILURES <= set(PRIORITY)
-
-    CATEGORY_MARKERS = {
-        "wordcount": "wordcount",
-        "dedup": "dedup_",
-        "similarity": "similarity_",
-        "retrieval": "retrieval_",
-        "llmprep": ("text_chunk", "llm_pack", "pipeline_pretrain", "curriculum"),
-        "textstats": ("text_quality", "text_bpe"),
-        "graph": "graph_",
-        "timeseries": ("events_gapfill", "events_rollup"),
-        "windows": ("window_tumbling", "events_retention"),
-        "cdc": "cdc_",
-        "asof": ("asof_", "range_join"),
-        "streaming": "streaming_",
-        "multimodal": "multimodal_",
-    }
-    for cat, markers in CATEGORY_MARKERS.items():
-        markers = (markers,) if isinstance(markers, str) else markers
-        assert any(
-            any(n.startswith(m) for m in markers) for n in PRIORITY
-        ), f"no {cat} representative in PRIORITY"
+# The driver-sample rotation invariants (sentinels valid, unseen queries
+# fill the graded window mechanically, new registrations rotate in) live in
+# tests/test_registry_rotation.py.

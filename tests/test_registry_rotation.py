@@ -1,0 +1,99 @@
+"""Rotation guard for the driver's graded sample window.
+
+The external driver runs correctness rows for the FIRST ``WINDOW`` entries
+of ``get_queries()``. The round-2 advisor's finding: a hand-curated window
+lets a regression registered outside it silently escape driver checking.
+The registry's answer is a MECHANICAL ordering — sentinels, then queries
+with no committed driver evidence (oracle-backed first), then the rest —
+and these tests make that ordering un-breakable:
+
+- no hand-pinning: every non-sentinel window slot must hold a
+  driver-unseen query as long as unseen oracle-backed queries exist;
+- self-rotation: a newly registered oracle-backed query MUST land inside
+  the window with no registry edit;
+- evidence source: the seen-set comes from the committed
+  CORRECTNESS_r*.json rounds, so committing a round's results is the act
+  that rotates the next round's window.
+"""
+
+from __future__ import annotations
+
+WINDOW = 50  # the driver's per-round sample size
+
+
+def _registry():
+    from wordcount_spark.registry import get_oracles, get_queries
+
+    return get_queries(), get_oracles()
+
+
+def test_sentinels_valid():
+    """Sentinels must resolve, be oracle-backed (hash evidence), stay few
+    (each one displaces an unseen query from the graded window), and lead
+    the ordering."""
+    from wordcount_spark.registry import SENTINELS
+
+    queries, oracles = _registry()
+    assert len(SENTINELS) == len(set(SENTINELS))
+    assert len(SENTINELS) <= 8
+    missing = [n for n in SENTINELS if n not in queries]
+    assert not missing, f"sentinel not registered: {missing}"
+    no_oracle = [n for n in SENTINELS if n not in oracles]
+    assert not no_oracle, f"sentinel without oracle: {no_oracle}"
+    assert list(queries)[: len(SENTINELS)] == sorted(
+        SENTINELS, key=list(queries).index
+    )
+
+
+def test_window_is_filled_by_unseen_queries():
+    """While driver-unseen oracle-backed queries exist, every non-sentinel
+    window slot holds an unseen query — no already-checked query may occupy
+    a slot an unchecked one could use (the anti-curation invariant)."""
+    from wordcount_spark.registry import SENTINELS, driver_checked
+
+    queries, oracles = _registry()
+    seen = driver_checked()
+    window = list(queries)[:WINDOW]
+    unseen_oracle_backed = [
+        n for n in queries if n not in seen and n in oracles and n not in SENTINELS
+    ]
+    overflow = len(unseen_oracle_backed) > WINDOW - len(SENTINELS)
+    for n in window:
+        if n in SENTINELS:
+            continue
+        if overflow:
+            assert n not in seen, (
+                f"driver-checked query '{n}' occupies a window slot while "
+                f"{len(unseen_oracle_backed)} unseen oracle-backed queries wait"
+            )
+            assert n in oracles, (
+                f"rows-only query '{n}' in window before oracle-backed unseen"
+            )
+
+
+def test_new_registration_rotates_into_window():
+    """A query registered today (hence absent from every committed
+    CORRECTNESS round) must sort into the graded window automatically."""
+    from wordcount_spark import registry
+
+    dummy = "zz_rotation_probe"
+    assert dummy not in registry.QUERIES
+    registry.QUERIES[dummy] = lambda spark, sf_dir: None
+    registry.ORACLES[dummy] = "SELECT 1 AS x"
+    try:
+        window = list(registry.get_queries())[:WINDOW]
+        assert dummy in window, "new oracle-backed query did not rotate into window"
+    finally:
+        del registry.QUERIES[dummy]
+        del registry.ORACLES[dummy]
+
+
+def test_driver_checked_reads_committed_rounds():
+    """The seen-set must reflect the committed rounds (r1/r2 checked 77
+    distinct queries) — if the files go missing the rotation degrades to
+    registration order, which would silently re-curate the window."""
+    from wordcount_spark.registry import driver_checked
+
+    seen = driver_checked()
+    assert {"wordcount", "q1_pricing_summary", "agg_cube"} <= seen
+    assert len(seen) >= 77

@@ -63,55 +63,69 @@ def _load_all() -> None:
             pass  # module not built yet (incremental rounds)
 
 
-#: Category-spanning showcase order. The round-1 driver sampled only the
-#: FIRST 50 registered queries, and registration order front-loaded 42
-#: relational queries — so the dedup/similarity/llmprep/graph/streaming
-#: surface got zero driver-side correctness rows (VERDICT.md "What's
-#: wrong" #2). These 50 names lead the registry: the reference wordcount
-#: surface first (must-stay-green), then representatives of every
-#: category. Everything else follows in registration order.
-PRIORITY: tuple[str, ...] = (
-    # reference surface (SURVEY.md §2) — incl. formerly-red wordcount_totals
-    "wordcount", "wordcount_stale", "wordcount_per_source", "wordcount_per_lang",
-    "wordcount_ranked", "wordcount_ci_collation", "wordcount_salted", "wordcount_totals",
-    # ALL 15 remaining round-1 hash_match failures (fixed in round 2) — kept
-    # inside the sampled window so CORRECTNESS_r02 demonstrates the flip
-    "q1_pricing_summary", "agg_rollup", "agg_cube", "agg_stats",
-    "join_broadcast_dims", "q3_shipping_priority", "join_outer",
-    "window_running_total", "unpivot_balances", "agg_histogram",
-    "scalar_null_funcs", "agg_argmax_join", "subquery_correlated",
-    "scalar_conditional", "pivot_status_by_priority",
-    # dedup family
-    "dedup_exact", "dedup_minhash_lsh", "dedup_cluster_best_quality",
-    # similarity / ANN
-    "similarity_topk_bruteforce", "similarity_multiquery_topk",
-    # retrieval (BM25 + hybrid RRF)
-    "retrieval_bm25_topk", "retrieval_hybrid_rrf",
-    # LLM data prep
-    "text_chunk_windows", "llm_pack_sequences",
-    "pipeline_pretrain_full", "curriculum_quality_buckets",
-    # text analysis
-    "text_quality_score", "text_quality_classifier", "text_bpe_token_count",
-    # graph
-    "graph_triangle_count", "graph_recursive_reach",
-    # timeseries
-    "events_gapfill_hourly", "events_rollup_multigrain",
-    # windowed / behavioral events
-    "window_tumbling", "events_retention_cohorts",
-    # CDC
-    "cdc_upsert_latest_state", "cdc_incremental_agg",
-    # as-of / range joins
-    "asof_join_last_order", "range_join_value_bands",
-    # structured streaming (replayed micro-batch)
-    "streaming_incremental_merge",
-    # multimodal
-    "multimodal_meta", "multimodal_doc_embedding_join",
+#: The external driver samples the FIRST 50 entries of get_queries() for
+#: its per-round correctness rows. Round 2 hand-pinned a category-spanning
+#: 50 there; the round-2 advisor flagged that a hand-curated graded window
+#: lets regressions registered OUTSIDE it silently escape driver checking.
+#: The ordering below is therefore MECHANICAL, not curated: queries with no
+#: driver-side evidence yet sort first, so each round's sample rotates onto
+#: never-checked queries automatically, and any newly registered query
+#: lands inside the next round's window by construction. Evidence is read
+#: from the committed CORRECTNESS_r*.json files themselves — committing a
+#: round's results is what rotates the next window. Enforced by
+#: tests/test_registry_rotation.py.
+#:
+#: A handful of fixed SENTINELS stay in every window: the flagship plus
+#: representatives of the round-1 failure classes (decimal/date/ratio type
+#: canonicalization), so each round re-proves those fixes hold under the
+#: real driver, not just the local mirror.
+SENTINELS: tuple[str, ...] = (
+    "wordcount",                  # flagship reference query — must stay green
+    "wordcount_totals",           # r1-red: HUGEINT sum coercion class
+    "q1_pricing_summary",         # r1-red: DECIMAL money-sum class
+    "agg_cube",                   # r1-red: null-group/int-coercion class
+    "curriculum_quality_buckets", # r1-red: ratio-lattice rounding class
 )
 
 
+def driver_checked() -> frozenset[str]:
+    """Names with at least one driver-side correctness row in a committed
+    CORRECTNESS_r*.json (any round, any verdict — a red row is still
+    evidence the driver exercised the query; fixes are re-proved by the
+    sentinel set and the local mirror)."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    names: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        try:
+            names |= set(json.load(open(path)))
+        except (OSError, ValueError):
+            continue
+    return frozenset(names)
+
+
 def _ordered(d: dict) -> dict:
-    front = {n: d[n] for n in PRIORITY if n in d}
-    return front | {n: v for n, v in d.items() if n not in front}
+    """Deterministic rotation order: sentinels, then driver-unseen queries
+    (oracle-backed before rows-only — hash evidence is stronger), then the
+    already-checked remainder. Unseen classes sort NEWEST registration
+    first: a query registered this round is the least-tested code in the
+    repo and is guaranteed a slot in the very next driver window, while
+    the older unseen backlog drains in subsequent rounds."""
+    seen = driver_checked()
+    reg_pos = {n: i for i, n in enumerate(QUERIES)}
+
+    def key(n: str) -> tuple[int, int]:
+        if n in SENTINELS:
+            return (0, reg_pos.get(n, 0))
+        if n not in seen:
+            cls = 1 if n in ORACLES else 2
+            return (cls, -reg_pos.get(n, 0))  # newest first
+        return (3, reg_pos.get(n, 0))
+
+    return {n: d[n] for n in sorted(d, key=key)}
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
