@@ -229,7 +229,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dbl(F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -261,12 +261,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
     )
     li = _t(spark, sf_dir, "lineitem")
-    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    # supplier/customer grow with SF — no hints (engine decides);
+    # nation/region are fixed 25/5-row enumerations, hinted
+    supp = _t(spark, sf_dir, "supplier")
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
     region = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
         .join(nation, supp.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
@@ -1283,7 +1285,7 @@ def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         check(
             "lineitem_orphan_part",
-            li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_anti"),
+            li.join(p, li.l_partkey == p.p_partkey, "left_anti"),
         ),
         check("orders_null_custkey", o.filter(F.col("o_custkey").isNull())),
         check(

@@ -263,7 +263,9 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round(…, 6): ln() is not IEEE-correctly-rounded, so Java and libm
     # differ in the last ulp — rank and emit on the rounded value so the
     # oracle comparison (and the top-3 row selection) is engine-stable.
-    scored = tf.join(F.broadcast(df_), "tok").withColumn(
+    # no broadcast hint on df_: vocabulary grows with the corpus (Heaps'
+    # law) — the engine broadcasts it while small, shuffle-joins at scale
+    scored = tf.join(df_, "tok").withColumn(
         "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
     )
     from pyspark.sql import Window
@@ -755,7 +757,9 @@ def unigram_logprob_scores(docs: DataFrame, lowercase: bool = False) -> DataFram
     model = toks.groupBy("tok").agg(F.count("*").alias("c")).cache()
     total = model.agg(F.log(F.sum("c").cast("double")).alias("ln_n"))
     return (
-        toks.join(F.broadcast(model), "tok")
+        # model is vocabulary-sized (grows with the corpus): no broadcast
+        # hint; `total` is a 1-row scalar, hinted
+        toks.join(model, "tok")
         .join(F.broadcast(total))
         .groupBy("doc_id", "ln_n")
         .agg(
@@ -1013,10 +1017,12 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1 = F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
     w2 = F.split_part(F.col("bg"), F.lit(" "), F.lit(2))
     return (
+        # n_uni/n_bi are 1-row scalars (hinted); ca/cb are vocabulary-sized
+        # and GROW with the corpus — no hint, the engine decides
         bgc.crossJoin(F.broadcast(n_uni))
         .crossJoin(F.broadcast(n_bi))
-        .join(F.broadcast(ca), F.col("ca.w") == w1)
-        .join(F.broadcast(cb), F.col("cb.w") == w2)
+        .join(ca, F.col("ca.w") == w1)
+        .join(cb, F.col("cb.w") == w2)
         .select(
             w1.alias("w1"),
             w2.alias("w2"),
@@ -1159,9 +1165,11 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     m1 = model1.alias("m1")
     mb = model1.select(F.col("w").alias("wb"), F.col("c").alias("cb"))
     return (
-        bg.join(F.broadcast(model2), ["w1", "w2"])
-        .join(F.broadcast(m1), F.col("m1.w") == F.col("w1"))
-        .join(F.broadcast(mb), F.col("wb") == F.col("w2"))
+        # model frames are (bigram-)vocabulary-sized and grow with the
+        # corpus — no broadcast hints; n_uni is a 1-row scalar (hinted)
+        bg.join(model2, ["w1", "w2"])
+        .join(m1, F.col("m1.w") == F.col("w1"))
+        .join(mb, F.col("wb") == F.col("w2"))
         .crossJoin(F.broadcast(n_uni))
         .groupBy("doc_id")
         .agg(

@@ -111,7 +111,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
@@ -172,7 +172,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = _revenue().alias("volume")
     base = (
-        li.join(F.broadcast(p.filter(F.col("p_type") == "PROMO")), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p.filter(F.col("p_type") == "PROMO"), F.col("l_partkey") == F.col("p_partkey"))
         .join(
             o.filter(
                 F.col("o_orderdate").between(
@@ -188,7 +188,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(r.filter(F.col("r_name") == "REGION_0")),
             F.col("n1_region") == F.col("r_regionkey"),
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .select(F.year("o_orderdate").cast("int").alias("l_year"), vol, "nation")
     )
@@ -273,7 +273,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
@@ -327,7 +327,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     peak = revenue.agg(F.max("total_revenue").alias("peak_revenue"))
     return (
         revenue.join(F.broadcast(peak), F.col("total_revenue") == F.col("peak_revenue"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue"))
         .orderBy("s_suppkey")
     )
@@ -358,10 +358,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(p.filter(F.col("p_brand") == "Brand#23")),
+            p.filter(F.col("p_brand") == "Brand#23"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(F.broadcast(per_part_avg), F.col("l_partkey") == F.col("avg_partkey"))
+        .join(per_part_avg, F.col("l_partkey") == F.col("avg_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(F.sum(dec("l_extendedprice")).cast("double") / 7.0, 2).alias(
@@ -404,7 +404,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(big_orders), F.col("l_orderkey") == F.col("big_orderkey"), "left_semi"
+            big_orders, F.col("l_orderkey") == F.col("big_orderkey"), "left_semi"
         )
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
@@ -438,7 +438,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters below the join (partial pushdown of an OR-of-ANDs)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
     cond = (
         (
             (F.col("p_brand") == "Brand#2")
@@ -540,8 +540,8 @@ def q9_pseudo_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_retailprice")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     amounts = (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
             F.col("s_nationkey"),
@@ -656,9 +656,9 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0.0
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(
-            F.broadcast(bad),
+            bad,
             F.col("s_suppkey") == F.col("l_suppkey"),
             "left_anti",
         )
@@ -784,7 +784,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name")
     )
     costs = (
-        li.join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(euro_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey", "s_name", "n_name")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
@@ -793,12 +793,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         costs.join(
-            F.broadcast(min_per_part),
+            min_per_part,
             (F.col("l_partkey") == F.col("min_partkey"))
             & (F.col("unit_cost") == F.col("min_cost")),
         )
         .join(
-            F.broadcast(p.filter((F.col("p_type") == "SMALL") & (F.col("p_size") < 15))),
+            p.filter((F.col("p_type") == "SMALL") & (F.col("p_size") < 15)),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
@@ -878,7 +878,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     per_part = (
-        li.join(F.broadcast(two_nation_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(two_nation_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_revenue()).alias("val"))
         # cached so the threshold agg and the filter branch share ONE
@@ -964,7 +964,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
         .join(
-            F.broadcast(p.filter(F.col("p_type") == "PROMO").select("p_partkey")),
+            p.filter(F.col("p_type") == "PROMO").select("p_partkey"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("l_suppkey")
@@ -975,7 +975,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .filter(F.col("n_name") == "NATION_3")
-        .join(F.broadcast(promo_supp), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(promo_supp, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )

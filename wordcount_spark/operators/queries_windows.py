@@ -330,14 +330,16 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-active day, counted
     on each later active day (growth analytics' standard triangle). Three
     aggs, all on user/user-day grain — the first two share the user_id
-    partitioning, and the cohort frame (≤ users rows) broadcasts back onto
-    the distinct user-day activity, so the fact table shuffles once. The
-    final matrix is days × offsets — trivially small at any scale."""
+    partitioning, and the cohort frame (O(users), so it GROWS with the
+    data: no broadcast hint — the join-back is co-partitioned with the
+    distinct anyway, and the engine broadcasts it only while it's actually
+    small), so the fact table shuffles once. The final matrix is
+    days × offsets — trivially small at any scale."""
     ev = load_table(spark, sf_dir, "events")
     days = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
     first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
-        days.join(F.broadcast(first), "user_id")
+        days.join(first, "user_id")
         # output DATEs as TIMESTAMP: DuckDB DATE coerces to datetime64
         # ("… 00:00:00") while Spark DATE stays datetime.date ("2024-01-01")
         # under the driver's pandas hashing — TIMESTAMP agrees on both sides

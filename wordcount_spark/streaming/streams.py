@@ -255,10 +255,11 @@ def streaming_enrich_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched with a BATCH-derived
     dimension (each user's first-active day) — the canonical "join the
     stream to the slowly-changing profile table" pattern. The static side
-    is planned per micro-batch and broadcast (no stream state, unlike
-    stream-stream joins), so at 100 TB the stream never shuffles for the
-    enrichment; a profile refresh is just the next micro-batch reading the
-    updated table."""
+    is re-planned per micro-batch (no stream state, unlike stream-stream
+    joins); no explicit broadcast hint — the profile is O(users) and grows
+    with the data, so the engine broadcasts it per micro-batch only while
+    it's actually small. A profile refresh is just the next micro-batch
+    reading the updated table."""
     from wordcount_spark.sources.readers import load_table
 
     profile = (
@@ -268,7 +269,7 @@ def streaming_enrich_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = _events_stream(spark, sf_dir)
     return (
-        ev.join(F.broadcast(profile), "user_id")
+        ev.join(profile, "user_id")
         .withColumn(
             "user_age_days", F.datediff(F.col("ts").cast("date"), F.col("first_day"))
         )
