@@ -50,10 +50,63 @@ HEADLINE = [
 ]
 
 
+#: pre-run 1-min load above this marks the emitted JSON "noisy": the box
+#: is shared, and a busy neighbor inflates wall-clock up to ~2x. The
+#: comparison tool (tools/bench_compare.py) REFUSES noisy runs, so a
+#: round-over-round delta can never be a load artifact.
+NOISE_LOAD_1M = 12.0
+
+
+def _materialize_8x_corpus(paths: list[str], scratch: str) -> list[str]:
+    """Build a corpus of 8x DISTINCT bytes from the reference corpus:
+    the original files plus 7 deterministic variants, each with A-Z/a-z
+    Caesar-rotated by k — byte count and whitespace structure preserved,
+    but every variant contributes a disjoint vocabulary, so the shuffle
+    and aggregate state scale with the bytes (ADVICE r1 / VERDICT r2
+    item 5: the old 8x run listed the same paths 8 times, which kept the
+    vocabulary 1x and flattered the reduce stage; that caveat no longer
+    applies and is gone from the emitted JSON). Generated once and
+    reused; regeneration is content-addressed by total size."""
+    import string
+
+    os.makedirs(scratch, exist_ok=True)
+    out_paths = list(paths)
+    tables = []
+    for k in range(1, 8):
+        lower = string.ascii_lowercase
+        upper = string.ascii_uppercase
+        rot_l = lower[k:] + lower[:k]
+        rot_u = upper[k:] + upper[:k]
+        tables.append(bytes.maketrans(
+            (lower + upper).encode(), (rot_l + rot_u).encode()
+        ))
+    expected = sum(os.path.getsize(p) for p in paths) * 7
+    have = [
+        os.path.join(scratch, f)
+        for f in sorted(os.listdir(scratch))
+        if f.endswith(".txt")
+    ]
+    if sum(os.path.getsize(p) for p in have) != expected:
+        for p in have:
+            os.remove(p)
+        have = []
+        for k, table in enumerate(tables, start=1):
+            for p in paths:
+                data = open(p, "rb").read().translate(table)
+                dst = os.path.join(
+                    scratch, f"rot{k}_{os.path.basename(p)}.txt"
+                )
+                with open(dst, "wb") as f:
+                    f.write(data)
+                have.append(dst)
+    return out_paths + have
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    prerun_load = os.getloadavg()[0]
 
     from wordcount_spark.registry import get_queries
     from wordcount_spark.session import get_spark
@@ -62,9 +115,11 @@ def main() -> None:
     queries = get_queries()
 
     timings: dict[str, float] = {}
+    query_load: dict[str, float] = {}
     for name in HEADLINE:
         if name not in queries:
             continue
+        query_load[name] = round(os.getloadavg()[0], 2)
         df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm: JIT/codegen
         best = float("inf")
@@ -82,9 +137,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         # contention context: this box is shared — external load inflates
-        # wall-clock up to ~2x (measured). Read total/per-query times
-        # against this; load1 <= cpus means the numbers are clean.
+        # wall-clock up to ~2x (measured). prerun load is the EXTERNAL
+        # load (sampled before our JVM spins up); per-query loads include
+        # our own threads and bound how contended each timing was.
         "host_load_avg_1m": round(os.getloadavg()[0], 2),
+        "host_load_avg_1m_prerun": round(prerun_load, 2),
+        "query_load_1m": query_load,
+        "noisy": prerun_load > NOISE_LOAD_1M,
     }
 
     # Apples-to-apples vs the reference's ONE compute-derived number: its
@@ -151,7 +210,11 @@ def main() -> None:
                     best = min(best, time.monotonic() - t0)
                 return best
 
-            best = timed(lambda: wc_df(paths))
+            # a 0.4 s job under external load is noise-dominated: best-of-8
+            # (cheap at this size) + the phase's own load stamp, so the
+            # judged vs-baseline ratio can be read against contention
+            out["reference_corpus_load_1m"] = round(os.getloadavg()[0], 2)
+            best = timed(lambda: wc_df(paths), n=8)
             out["reference_corpus_mb_per_sec"] = round(nbytes / 1e6 / best, 2)
             # Committed stage breakdown (VERDICT r1 task 5): how much of
             # the single-stream time is fixed per-job cost that vanishes
@@ -164,29 +227,26 @@ def main() -> None:
                 "scan_only": round(scan, 4),
             }
             # same pipeline at 8x the corpus: the amortization point where
-            # per-job fixed costs stop dominating. CAVEAT (committed, see
-            # ADVICE r1): the 8x input lists each path 8 times — bytes
-            # scanned match a physically replicated corpus, but the
-            # vocabulary (and thus shuffle/agg state) stays 1x and re-reads
-            # are page-cache-hot, so this flatters the reduce stage vs a
-            # corpus of 8x distinct text. It isolates scan+map throughput.
+            # per-job fixed costs stop dominating. The 8x input is DISTINCT
+            # bytes (original + 7 Caesar-rotated variants, disjoint
+            # vocabularies), so scan, shuffle AND aggregate state all scale
+            # with the input — honest by construction (VERDICT r2 item 5;
+            # the old duplicate-path-list caveat no longer applies).
+            paths8 = _materialize_8x_corpus(
+                paths, os.path.join(_REPO_ROOT, ".bench_scratch", "corpus8x")
+            )
+            nbytes8 = sum(os.path.getsize(p) for p in paths8)
             split8 = min(
                 max(
-                    nbytes * 8 // max(spark.sparkContext.defaultParallelism, 1),
+                    nbytes8 // max(spark.sparkContext.defaultParallelism, 1),
                     256 * 1024,
                 ),
                 128 * 1024 * 1024,
             )
             spark.conf.set("spark.sql.files.maxPartitionBytes", str(split8))
-            best8 = timed(lambda: wc_df(paths * 8))
-            out["reference_corpus_8x_mb_per_sec"] = round(
-                nbytes * 8 / 1e6 / best8, 2
-            )
-            out["reference_corpus_8x_note"] = (
-                "8x = same 29 paths listed 8 times: scan bytes scale, "
-                "vocabulary/shuffle state stays 1x, re-reads are page-cache-"
-                "hot — flatters the reduce stage vs 8x distinct text"
-            )
+            best8 = timed(lambda: wc_df(paths8))
+            out["reference_corpus_8x_mb_per_sec"] = round(nbytes8 / 1e6 / best8, 2)
+            out["reference_corpus_8x_distinct_bytes"] = nbytes8
         finally:
             for k, v in saved.items():
                 spark.conf.set(k, v)
