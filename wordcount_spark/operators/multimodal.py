@@ -314,3 +314,169 @@ def decode_wav_features(wav_df: DataFrame) -> DataFrame:
         schema="doc_id long, sample_rate long, n_samples long, "
         "sum_abs long, sum_sq long, peak_abs long",
     )
+
+
+# --- PPM (P6) color images: 3 bytes/pixel, header + raw RGB triplets ------
+
+PPM_A = 7907
+PPM_B = 104717
+
+
+def ppm_dims(doc_id: int) -> tuple[int, int]:
+    return 16 + doc_id % 16, 12 + doc_id % 8
+
+
+def synth_ppm_payload(docs: DataFrame) -> DataFrame:
+    """doc_id → a VALID binary PPM (P6) color image whose flat RGB byte
+    stream is ``(doc_id*7907 + j*104717) % 256`` for j in [0, 3·w·h) —
+    channel c of pixel p sits at j = 3p + c, exactly the interleaving the
+    decoder must undo. Same mapInPandas shape as the PGM/WAV synths."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w, h = ppm_dims(int(doc_id))
+                raw = (
+                    (int(doc_id) * PPM_A + np.arange(3 * w * h, dtype=np.int64) * PPM_B)
+                    % 256
+                ).astype(np.uint8)
+                payloads.append(f"P6\n{w} {h}\n255\n".encode() + raw.tobytes())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def decode_ppm_features(ppm_df: DataFrame) -> DataFrame:
+    """REAL color decode: parse the P6 header, reinterpret the interleaved
+    RGB bytes as an (h·w, 3) array, and aggregate per-channel integer-exact
+    features — a channel-deinterleave bug (the classic stride mistake)
+    diverges sum_r/sum_g/sum_b from the oracle immediately."""
+    import numpy as np
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "n_pixels",
+                                   "sum_r", "sum_g", "sum_b", "max_rgb")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                magic, dims, maxval_and_rest = buf.split(b"\n", 2)
+                if magic != b"P6":
+                    raise ValueError(f"not a P6 PPM: {magic!r}")
+                w, h = (int(x) for x in dims.split())
+                maxval, raw = maxval_and_rest.split(b"\n", 1)
+                if int(maxval) != 255 or len(raw) != 3 * w * h:
+                    raise ValueError("corrupt PPM payload")
+                rgb = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["sum_r"].append(int(rgb[:, 0].sum()))
+                out["sum_g"].append(int(rgb[:, 1].sum()))
+                out["sum_b"].append(int(rgb[:, 2].sum()))
+                out["max_rgb"].append(int(rgb.max()))
+            yield pd.DataFrame(out)
+
+    return ppm_df.mapInPandas(
+        dec,
+        schema="doc_id long, width long, height long, n_pixels long, "
+        "sum_r long, sum_g long, sum_b long, max_rgb long",
+    )
+
+
+# --- µ-law (G.711) WAV: 8-bit log-companded audio, format code 7 ----------
+
+MULAW_RATE = 8000
+MULAW_SAMP_A = 13
+MULAW_SAMP_B = 7
+
+
+def mulaw_n_samples(doc_id: int) -> int:
+    return 200 + doc_id % 200
+
+
+def synth_mulaw_payload(docs: DataFrame) -> DataFrame:
+    """doc_id → a VALID RIFF/WAVE mono µ-law payload (format code 7, 8-bit
+    samples at 8 kHz) whose companded bytes are ``(doc_id*13 + i*7) % 256``."""
+    import struct
+
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = mulaw_n_samples(int(doc_id))
+                samples = (
+                    (int(doc_id) * MULAW_SAMP_A + np.arange(n, dtype=np.int64) * MULAW_SAMP_B)
+                    % 256
+                ).astype(np.uint8)
+                data = samples.tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVEfmt "
+                    + struct.pack("<IHHIIHH", 16, 7, 1, MULAW_RATE, MULAW_RATE, 1, 8)
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                payloads.append(hdr + data)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def mulaw_expand(u: "object"):
+    """Vectorized G.711 µ-law → linear PCM16 expansion (CCITT reference
+    decode: complement, bias-132 mantissa, segment shift, signed). Shared
+    by the decoder and the differential test; the SQL oracle spells the
+    identical integer formula with 255-u for the byte complement."""
+    import numpy as np
+
+    v = 255 - np.asarray(u, dtype=np.int64)  # ~u & 0xFF for u in [0,256)
+    t = (((v & 0x0F) << 3) + 0x84) << ((v & 0x70) >> 4)
+    return np.where((v & 0x80) != 0, 0x84 - t, t - 0x84)
+
+
+def decode_mulaw_features(wav_df: DataFrame) -> DataFrame:
+    """REAL µ-law decode: validate the RIFF/fmt/data chunks (format code 7,
+    1 channel, 8 bits), read the rate from the header, EXPAND the
+    companded bytes to linear PCM16 with the G.711 formula, and aggregate
+    integer-exact loudness features on the expanded signal."""
+    import struct
+
+    import numpy as np
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sample_rate", "n_samples",
+                                   "sum_abs", "sum_sq", "peak_abs")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:4] != b"RIFF" or buf[8:16] != b"WAVEfmt ":
+                    raise ValueError("not a RIFF/WAVE payload")
+                fmt_size, audio_fmt, channels, rate = struct.unpack("<IHHI", buf[16:28])
+                bits = struct.unpack("<H", buf[34:36])[0]
+                if (fmt_size, audio_fmt, channels, bits) != (16, 7, 1, 8):
+                    raise ValueError("unsupported WAV layout (want mono G.711 mu-law)")
+                if buf[36:40] != b"data":
+                    raise ValueError("missing data chunk")
+                (data_len,) = struct.unpack("<I", buf[40:44])
+                lin = mulaw_expand(
+                    np.frombuffer(buf[44 : 44 + data_len], dtype=np.uint8)
+                )
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(lin))
+                out["sum_abs"].append(int(np.abs(lin).sum()))
+                out["sum_sq"].append(int((lin * lin).sum()))
+                out["peak_abs"].append(int(np.abs(lin).max()))
+            yield pd.DataFrame(out)
+
+    return wav_df.mapInPandas(
+        dec,
+        schema="doc_id long, sample_rate long, n_samples long, "
+        "sum_abs long, sum_sq long, peak_abs long",
+    )

@@ -49,8 +49,40 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
     if not delta_available(spark):
         raise NotImplementedError(
             "Delta Lake jars not on the classpath in this environment; "
-            "add delta-spark and spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension"
+            "pip install delta-spark (wordcount_spark.session probes for it "
+            "and enables the Delta catalog automatically)"
         )
+    return spark.read.format("delta").load(path)
+
+
+def delta_merge_upsert(
+    spark: SparkSession, path: str, updates: DataFrame, key: str
+) -> DataFrame:
+    """MERGE (upsert) a batch of updates into the Delta table at ``path``:
+    matched keys are overwritten, new keys inserted — the ACID latest-wins
+    apply that ``cdc_upsert_latest_state`` computes declaratively, here
+    executed as a table mutation. Requires the delta-spark probe to have
+    fired at session build (see ``wordcount_spark.session``); raises the
+    capability error otherwise.
+
+    Scale: Delta MERGE rewrites only the files whose key ranges match
+    (data skipping on the join keys); the updates side should be the
+    small/incremental batch."""
+    if not delta_available(spark):
+        raise NotImplementedError(
+            "Delta Lake jars not on the classpath in this environment; "
+            "pip install delta-spark to enable MERGE"
+        )
+    from delta.tables import DeltaTable
+
+    target = DeltaTable.forPath(spark, path)
+    (
+        target.alias("t")
+        .merge(updates.alias("u"), f"t.{key} = u.{key}")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
     return spark.read.format("delta").load(path)
 
 
