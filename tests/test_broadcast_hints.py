@@ -42,6 +42,7 @@ ALLOWED: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/queries_retrieval.py", "_bm25_ranked"): (3, "fixed 9-term query set, its per-term df, 1-row corpus stats"),
     ("operators/queries_retrieval.py", "retrieval_hybrid_rrf"): (1, "3 fixed query vectors"),
     ("operators/queries_similarity.py", "similarity_topk_bruteforce"): (1, "fixed query vectors"),
+    ("operators/queries_similarity.py", "similarity_binary_hamming_topk"): (1, "1-row query signature (2 longs)"),
     ("operators/queries_similarity.py", "similarity_ivf_topk"): (1, "fixed query vectors"),
     ("operators/queries_similarity.py", "similarity_multiquery_topk"): (3, "8-query matrix (sc.broadcast) + O(queries*k) candidates + query frame"),
     ("operators/queries_similarity.py", "similarity_pq_topk"): (2, "fixed query vectors + O(queries*k) candidates"),

@@ -16,6 +16,7 @@ from wordcount_spark.plans.explain import formatted_plan
 # BroadcastNestedLoopJoin on purpose
 BNLJ_OK = {
     "similarity_topk_bruteforce",
+    "similarity_binary_hamming_topk",  # 1-row broadcast query-signature fan-out
     "similarity_knn_classify",  # 5-row broadcast query-vector fan-out
     "pipeline_rag_corpus",  # 3-row broadcast query-vector fan-out
     "similarity_ivf_topk",

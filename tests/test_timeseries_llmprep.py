@@ -220,6 +220,17 @@ def test_bpe_merges_match_python_model(spark):
     ]
     assert got == expected
 
+    # apply/segment must reproduce the Python model's FINAL segmentation
+    # for every vocabulary word (learn and apply share _learn_bpe, but the
+    # reference here is fully independent)
+    seg = {
+        r["word"]: (r["pieces"], r["n_pieces"], r["n_occurrences"])
+        for r in get_queries()["bpe_apply_segment"](spark, SF_DIR).collect()
+    }
+    assert set(seg) == set(syms)
+    for w, (s, c) in syms.items():
+        assert seg[w] == (" ".join(s), len(s), c), w
+
 
 def test_pack_sequences_invariants(spark):
     """Packing must conserve tokens: (a) each doc's fragments sum to its

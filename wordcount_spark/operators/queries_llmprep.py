@@ -504,6 +504,16 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order, both engines deterministic.
 
     Returns the learned merge table (step, left, right, weight)."""
+    merges, _ = _learn_bpe(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "step: int, left: string, right: string, weight: long"
+    ).orderBy("step")
+
+
+def _learn_bpe(spark: SparkSession, sf_dir: str):
+    """Shared BPE trainer: returns (merge list, final segmented vocabulary
+    frame (word, wt, s)) — the learner query and the apply/segment query
+    both call this, so the segmentation can never drift from the merges."""
     from wordcount_spark.operators.wordcount import words_from_text
 
     docs = load_table(spark, sf_dir, "documents")
@@ -513,7 +523,9 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("wt"))
     )
     syms = vocab.select(
-        "wt", F.filter(F.split("word", ""), lambda c: c != F.lit("")).alias("s")
+        "word",
+        "wt",
+        F.filter(F.split("word", ""), lambda c: c != F.lit("")).alias("s"),
     ).localCheckpoint(eager=True)
 
     merges = []
@@ -540,6 +552,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges.append((step, l, r, w))
         lr = l + r
         syms = syms.select(
+            "word",
             "wt",
             F.aggregate(
                 "s",
@@ -554,10 +567,32 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(F.concat(acc, F.array(x))),
             ).alias("s"),
         ).localCheckpoint(eager=True)
+    return merges, syms
 
-    return spark.createDataFrame(
-        merges, "step: int, left: string, right: string, weight: long"
-    ).orderBy("step")
+
+@register("bpe_apply_segment", eager=True)  # rows-only: the greedy fold is
+# not SQL-expressible; differential test vs the independent Python BPE in
+# tests/test_timeseries_llmprep.py covers learn AND apply together
+def bpe_apply_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION, completing the BPE story (learn → apply →
+    count): segment every distinct corpus word with the learned merges and
+    report its piece sequence — plus the corpus-level compression this
+    vocabulary buys (token count per word × frequency is the downstream
+    dataloader's cost model).
+
+    Scale: segmentation runs on the frequency-weighted DISTINCT-WORD
+    table (the same Zipf trick as the trainer — only the word count ever
+    touches the full corpus); per-word work is the same JVM `aggregate`
+    fold the trainer iterates, applied once per learned merge. Output is
+    vocabulary-sized."""
+    _, syms = _learn_bpe(spark, sf_dir)
+    return syms.select(
+        "word",
+        F.col("wt").alias("n_occurrences"),
+        F.array_join("s", " ").alias("pieces"),
+        F.size("s").alias("n_pieces"),
+        (F.size("s") * F.col("wt")).cast("long").alias("corpus_pieces"),
+    ).orderBy("word")
 
 
 #: context length (tokens) of one packed training sequence
@@ -991,3 +1026,129 @@ def mix_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: DSIR-style importance resampling (public: Xie et al. 2023, "Data
+#: Selection for Language Models via Importance Resampling"): score every
+#: document by its log-likelihood ratio under a TARGET unigram model vs
+#: the SOURCE (whole-corpus) unigram model, keep the target-like docs.
+DSIR_TARGET_LANG = "en"
+
+
+def _register_dsir():
+    from wordcount_spark.operators.relational import dbl
+
+    oracle = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(list_filter({_TOKS_SQL}, x -> x <> '')) AS tok
+      FROM documents
+    ),
+    src AS (SELECT tok, count(*) AS c_s FROM toks GROUP BY tok),
+    tgt AS (SELECT tok, count(*) AS c_t FROM toks
+            WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY tok),
+    tots AS (
+      SELECT (SELECT count(*) FROM toks) AS n_s,
+             (SELECT count(*) FROM toks WHERE lang = '{DSIR_TARGET_LANG}') AS n_t,
+             (SELECT count(*) FROM src) AS v
+    ),
+    w AS (
+      SELECT src.tok,
+             CAST(round(ln(
+               CAST((coalesce(c_t, 0) + 1) AS DOUBLE) * (n_s + v)
+               / ((c_s + 1) * (n_t + v))
+             ), 4) AS DECIMAL(18,4)) AS lw
+      FROM src LEFT JOIN tgt USING (tok), tots
+    ),
+    scored AS (
+      SELECT t.doc_id, sum(w.lw) AS s, count(*) AS n_tokens
+      FROM toks t JOIN w ON t.tok = w.tok
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(s.s, 0) AS DOUBLE) AS dsir_score,
+           CASE WHEN CAST(coalesce(s.s, 0) AS DOUBLE) > 0.0 THEN 1 ELSE 0 END AS keep
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+    @register("mix_importance_resample", oracle)
+    def mix_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """DSIR-style data selection: per-token log importance weight
+        ln(p_target(tok) / p_source(tok)) under add-1-smoothed unigram
+        models (target = the '{en}' subcorpus, source = everything), doc
+        score = sum of its tokens' weights, keep docs that look more like
+        the target than the background. This is the importance-resampling
+        selector a pretraining mixture uses to up-weight a high-quality
+        or in-domain slice without a learned classifier.
+
+        Engine parity: ONE ln per vocabulary word over exact integer
+        counts, rounded to 4dp (repo ln rule) and summed as exact
+        DECIMAL(18,4) — doc scores are order-independent and identical
+        across engines; the keep cut compares the exact decimal sum cast
+        to double against 0.
+
+        Scale: two corpus-token aggregations (source + target counts,
+        shareable with the unigram-model pipelines), an O(vocab) weight
+        table, then one token⋈weight join re-aggregated per doc — the
+        weight table carries NO broadcast hint (vocab grows with the
+        corpus; the engine broadcasts it while small). The smoothed
+        weight for never-in-target tokens is ln((n_s+v)/((c_s+1)(n_t+v)))
+        via the LEFT JOIN's coalesce, exactly as in the SQL."""
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select(
+            "doc_id", "lang", F.explode(_toks()).alias("tok")
+        )
+        # cached: source counts, target counts, and the scoring join all
+        # derive from this exploded frame
+        toks = toks.cache()
+        src = toks.groupBy("tok").agg(F.count("*").alias("c_s"))
+        tgt = (
+            toks.where(F.col("lang") == DSIR_TARGET_LANG)
+            .groupBy("tok")
+            .agg(F.count("*").alias("c_t"))
+        )
+        n_s = toks.count()
+        n_t = toks.where(F.col("lang") == DSIR_TARGET_LANG).count()
+        v = src.count()
+        w = src.join(tgt, "tok", "left").select(
+            "tok",
+            F.round(
+                F.log(
+                    (F.coalesce("c_t", F.lit(0)) + 1).cast("double")
+                    * F.lit(float(n_s + v))
+                    / ((F.col("c_s") + 1) * F.lit(float(n_t + v)))
+                ),
+                4,
+            )
+            .cast("decimal(18,4)")
+            .alias("lw"),
+        )
+        scored = (
+            toks.join(w, "tok")
+            .groupBy("doc_id")
+            .agg(F.sum("lw").alias("s"), F.count("*").alias("n_tokens"))
+        )
+        return (
+            docs.select("doc_id", "lang")
+            .join(scored, "doc_id", "left")
+            .select(
+                "doc_id",
+                "lang",
+                F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+                dbl(F.coalesce("s", F.lit(0).cast("decimal(18,4)"))).alias(
+                    "dsir_score"
+                ),
+                F.when(
+                    F.coalesce("s", F.lit(0).cast("decimal(18,4)")).cast("double")
+                    > 0.0,
+                    1,
+                )
+                .otherwise(0)
+                .alias("keep"),
+            )
+            .orderBy("doc_id")
+        )
+
+
+_register_dsir()

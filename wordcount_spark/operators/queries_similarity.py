@@ -599,3 +599,84 @@ def eval_knn_label_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+def _register_binary_hamming():
+    """Sign-binarized embeddings + Hamming top-k — the 1-bit quantization
+    ANN tier (32x smaller than float32, distance = popcount of XOR)."""
+    lo_sql = (
+        "list_sum(list_transform(range(1, 33), i -> CASE WHEN e.embedding[i] > 0 "
+        "THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END))"
+    )
+    hi_sql = (
+        "list_sum(list_transform(range(33, 65), i -> CASE WHEN e.embedding[i] > 0 "
+        "THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END))"
+    )
+    oracle = f"""
+    WITH sig AS (
+      SELECT e.vec_id, e.label,
+             CAST({lo_sql} AS BIGINT) AS lo,
+             CAST({hi_sql} AS BIGINT) AS hi
+      FROM embeddings e
+    ),
+    q AS (SELECT lo, hi FROM sig WHERE vec_id = 0)
+    SELECT s.vec_id, s.label,
+           CAST(bit_count(xor(s.lo, q.lo)) + bit_count(xor(s.hi, q.hi))
+                AS BIGINT) AS hamming
+    FROM sig s, q WHERE s.vec_id <> 0
+    ORDER BY hamming, s.vec_id LIMIT 10
+    """
+
+    @register("similarity_binary_hamming_topk", oracle)
+    def similarity_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Binary (sign) quantization ANN: each 64-dim float vector folds
+        to TWO packed 32-bit words (bit i = dim i positive), and the
+        nearest neighbors of vec_id 0 rank by Hamming distance =
+        popcount(xor) — integer-exact on both engines, so unlike the
+        cosine tiers this oracle needs no float rounding discipline at
+        all. This is the coarsest tier of a quantization cascade
+        (binary → int8 → PQ → exact re-score, all registered here).
+
+        Scale: the signature table is 2 longs per vector (32x smaller
+        than float32 — the point of the method); scoring is a map-only
+        XOR+popcount over it with TakeOrdered top-k, no shuffle. The
+        1-row query signature broadcasts; re-score the top candidates
+        with exact cosine as in similarity_topk_bruteforce."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        e = F.col("embedding")
+
+        def pack(lo_bit: int, hi_bit: int) -> F.Column:
+            acc = F.lit(0).cast("long")
+            for i in range(lo_bit, hi_bit):
+                acc = acc + F.when(
+                    e.getItem(i - 1) > 0,
+                    F.lit(1 << (i - lo_bit)).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            return acc
+
+        sig = emb.select(
+            "vec_id", "label", pack(1, 33).alias("lo"), pack(33, 65).alias("hi")
+        )
+        q = (
+            sig.where(F.col("vec_id") == 0)
+            .select(F.col("lo").alias("qlo"), F.col("hi").alias("qhi"))
+        )
+        return (
+            sig.where(F.col("vec_id") != 0)
+            .join(F.broadcast(q))
+            .select(
+                "vec_id",
+                "label",
+                (
+                    F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+                    + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+                )
+                .cast("long")
+                .alias("hamming"),
+            )
+            .orderBy("hamming", "vec_id")
+            .limit(10)
+        )
+
+
+_register_binary_hamming()

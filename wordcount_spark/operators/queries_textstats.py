@@ -1304,3 +1304,142 @@ def _register_langid_confusion():
 
 
 _register_langid_confusion()
+
+
+#: Gopher-style quality-rule thresholds (public DeepMind Gopher paper,
+#: Rae et al. 2021, Table A1 — the standard pretraining heuristic gate).
+#: Tuned to the synthetic corpus only in the word-count bound (50 → 20 so
+#: both outcomes occur at test SF); every other bound is the paper's.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def _register_gopher_rules():
+    from wordcount_spark.operators.relational import stable_round, stable_round_sql
+
+    sr = stable_round_sql
+    oracle = f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter({_TOKS_SQL}, x -> x <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_tokens,
+             list_sum(list_transform(toks, x -> length(x))) AS sum_len,
+             len(list_filter(toks, x -> contains(x, '#')
+                                        OR contains(x, '...'))) AS n_symbol,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+             len(list_intersect(list_distinct(toks), {STOPWORDS!r})) AS n_stop
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id, lang, n_tokens,
+             {sr("CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(sum_len AS DOUBLE) / n_tokens END", 4)} AS mean_word_len,
+             {sr("CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_symbol AS DOUBLE) / n_tokens END", 4)} AS symbol_ratio,
+             {sr("CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE) / n_tokens END", 4)} AS alpha_ratio,
+             n_stop
+      FROM m
+    )
+    SELECT doc_id, lang, n_tokens, mean_word_len, symbol_ratio, alpha_ratio,
+           CAST(n_stop AS BIGINT) AS n_stopwords,
+           CASE WHEN n_tokens BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} THEN 1 ELSE 0 END AS r_word_count,
+           CASE WHEN mean_word_len >= {GOPHER_MIN_MEAN_LEN} AND mean_word_len <= {GOPHER_MAX_MEAN_LEN} THEN 1 ELSE 0 END AS r_mean_len,
+           CASE WHEN symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO} THEN 1 ELSE 0 END AS r_symbol,
+           CASE WHEN alpha_ratio > {GOPHER_MIN_ALPHA_RATIO} THEN 1 ELSE 0 END AS r_alpha,
+           CASE WHEN n_stop >= {GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END AS r_stopwords,
+           CASE WHEN n_tokens BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                 AND mean_word_len >= {GOPHER_MIN_MEAN_LEN} AND mean_word_len <= {GOPHER_MAX_MEAN_LEN}
+                 AND symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO}
+                 AND alpha_ratio > {GOPHER_MIN_ALPHA_RATIO}
+                 AND n_stop >= {GOPHER_MIN_STOPWORDS}
+                THEN 1 ELSE 0 END AS keep
+    FROM r ORDER BY doc_id
+    """
+
+    @register("text_gopher_rules", oracle)
+    def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Gopher-style repetition-free quality rules as a per-document,
+        per-RULE audit (word-count bounds, mean word length, symbol
+        ratio, alphabetic-word ratio, distinct-stopword floor): each rule
+        is its own 0/1 column so a curation run can read WHICH gate
+        rejects how much data before composing them — the practical form
+        of the heuristic filter every pretraining pipeline runs first.
+
+        Engine parity: every ratio is a ratio of small integers, so all
+        three go through ``stable_round`` BEFORE the threshold compares
+        (CLAUDE.md ratio-lattice rule — mean word length hits x.0 exactly
+        on short docs). Scale: one map-only pass over the corpus (array
+        ops in codegen, no Python, no shuffle except the output sort)."""
+        docs = load_table(spark, sf_dir, "documents")
+        toks = _toks()
+        n_tokens = F.size(toks)
+        guard = n_tokens == 0
+        mean_len = stable_round(
+            F.when(guard, F.lit(0.0)).otherwise(
+                F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+                .cast("double")
+                / n_tokens
+            ),
+            4,
+        )
+        n_symbol = F.size(
+            F.filter(
+                toks,
+                lambda x: x.contains("#") | x.contains("..."),
+            )
+        )
+        n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+        symbol_ratio = stable_round(
+            F.when(guard, F.lit(0.0)).otherwise(
+                n_symbol.cast("double") / n_tokens
+            ),
+            4,
+        )
+        alpha_ratio = stable_round(
+            F.when(guard, F.lit(0.0)).otherwise(n_alpha.cast("double") / n_tokens),
+            4,
+        )
+        n_stop = F.size(
+            F.array_intersect(
+                F.array_distinct(toks),
+                F.array(*[F.lit(s) for s in STOPWORDS]),
+            )
+        )
+        m = docs.select(
+            "doc_id",
+            "lang",
+            n_tokens.alias("n_tokens"),
+            mean_len.alias("mean_word_len"),
+            symbol_ratio.alias("symbol_ratio"),
+            alpha_ratio.alias("alpha_ratio"),
+            n_stop.cast("long").alias("n_stopwords"),
+        )
+        r_word = (
+            F.col("n_tokens").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        ).cast("int")
+        r_mean = (
+            (F.col("mean_word_len") >= GOPHER_MIN_MEAN_LEN)
+            & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_LEN)
+        ).cast("int")
+        r_symbol = (F.col("symbol_ratio") < GOPHER_MAX_SYMBOL_RATIO).cast("int")
+        r_alpha = (F.col("alpha_ratio") > GOPHER_MIN_ALPHA_RATIO).cast("int")
+        r_stop = (F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS).cast("int")
+        return m.select(
+            "*",
+            r_word.alias("r_word_count"),
+            r_mean.alias("r_mean_len"),
+            r_symbol.alias("r_symbol"),
+            r_alpha.alias("r_alpha"),
+            r_stop.alias("r_stopwords"),
+            (r_word * r_mean * r_symbol * r_alpha * r_stop).alias("keep"),
+        ).orderBy("doc_id")
+
+
+_register_gopher_rules()
