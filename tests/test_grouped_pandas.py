@@ -88,3 +88,52 @@ def test_wav_decoder_reads_header_fields(spark):
     assert r["sample_rate"] == 8000  # parsed, not the default 16000
     assert r["n_samples"] == 3 and r["sum_abs"] == 600 and r["peak_abs"] == 300
     assert r["sum_sq"] == 100 * 100 + 200 * 200 + 300 * 300
+
+
+def test_mulaw_expansion_exhaustive():
+    """The vectorized G.711 expansion must agree with an independently
+    spelled scalar reference on ALL 256 companded byte values (the oracle
+    SQL is a third spelling; this pins the Python/numpy one)."""
+    from wordcount_spark.operators.multimodal import mulaw_expand
+
+    def ref(u: int) -> int:
+        u = ~u & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    got = mulaw_expand(list(range(256)))
+    for u in range(256):
+        assert int(got[u]) == ref(u), u
+    # anchors (complement-first convention, mirrored in the SQL oracle):
+    # 0xFF expands to 0 (silence), 0x80/0x00 are the ± peaks
+    assert int(got[0xFF]) == 0
+    assert int(got[0x80]) == 32124
+    assert int(got[0x00]) == -32124
+
+
+def test_ppm_decode_roundtrip_spark(spark):
+    """P6 synth → Arrow → decode must reproduce the per-channel formula
+    (independent recomputation in numpy, not the SQL oracle)."""
+    import numpy as np
+
+    from wordcount_spark.operators.multimodal import (
+        PPM_A,
+        PPM_B,
+        decode_ppm_features,
+        ppm_dims,
+        synth_ppm_payload,
+    )
+
+    docs = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    rows = {r["doc_id"]: r for r in decode_ppm_features(synth_ppm_payload(docs)).collect()}
+    for d in range(12):
+        w, h = ppm_dims(d)
+        flat = (d * PPM_A + np.arange(3 * w * h, dtype=np.int64) * PPM_B) % 256
+        rgb = flat.reshape(-1, 3)
+        r = rows[d]
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+        assert r["sum_r"] == int(rgb[:, 0].sum())
+        assert r["sum_g"] == int(rgb[:, 1].sum())
+        assert r["sum_b"] == int(rgb[:, 2].sum())
+        assert r["max_rgb"] == int(rgb.max())

@@ -50,6 +50,9 @@ BNLJ_OK = {
     # 20-row broadcast query-vector fan-out (self-exclusion is a
     # non-equi predicate, so the broadcast join is nested-loop by design)
     "eval_knn_label_precision",
+    # composes the two allowlisted scans above (bruteforce + hamming),
+    # inheriting their 1-row broadcast fan-outs
+    "eval_binary_hamming_recall",
 }
 
 # streaming / iterative queries execute eagerly inside the callable —

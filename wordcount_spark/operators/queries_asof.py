@@ -83,7 +83,12 @@ def asof_join(
 def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each event: the user's most recent order as of the event time.
     Right side pre-deduped to one row per (key, time) — max orderkey — so
-    the as-of match is deterministic in both engines."""
+    the as-of match is deterministic in both engines.
+
+    Scale: union+window as-of — both inputs share ONE user-keyed
+    exchange and a per-partition time sort; the last_value carry-forward
+    is O(1) state per partition, never a range join.
+    """
     ev = load_table(spark, sf_dir, "events")
     orders = (
         load_table(spark, sf_dir, "orders")

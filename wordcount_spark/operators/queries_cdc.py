@@ -39,7 +39,12 @@ def cdc_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot(<cutoff) merged with latest(≥cutoff) ≡ global latest per key —
     so the whole merge pipeline is differentially checked, not just its
     output shape. Version order is (ts, event_id): a total order that
-    breaks timestamp ties deterministically."""
+    breaks timestamp ties deterministically.
+
+    Scale: per-key top-1 via window (one user-keyed exchange per input),
+    anti-join + union to apply — state O(keys), never a row-multiplying
+    join; the streaming twin maintains the same state incrementally.
+    """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type", "value"
     )
@@ -99,7 +104,12 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed (valid_to = change time) and a new open version appended;
     unchanged users pass through. The oracle replays the same
     first-vs-last comparison in SQL, checking the close-out/append logic
-    row for row, including the pass-through and NULL-end cases."""
+    row for row, including the pass-through and NULL-end cases.
+
+    Scale: single-pass window formulation — two user-keyed window
+    exchanges + the output sort (the 4-branch union form re-planned the
+    shared frames to 8 exchanges; pinned by tests/test_shuffle_budget).
+    """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type"
     )

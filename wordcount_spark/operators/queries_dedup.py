@@ -64,7 +64,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The surviving rows after exact dedup (window formulation)."""
+    """The surviving rows after exact dedup (window formulation).
+
+    Scale: one exchange on the content hash; the min-id survivor is a
+    per-partition streaming window, state O(1) per key.
+    """
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
@@ -98,7 +102,13 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard ≥ 0.5 via the inverted shingle index (no n²
-    cross join — only docs sharing a shingle meet in the join)."""
+    cross join — only docs sharing a shingle meet in the join).
+
+    Scale: the inverted index join meets only shingle-sharing pairs;
+    intersection counts aggregate per pair (map-side combinable). Hot
+    shingles are the skew hazard — drop top-frequency shingles (stop
+    shingles) before the join at corpus scale.
+    """
     docs = load_table(spark, sf_dir, "documents")
     sh = doc_shingles(docs)
     return jaccard_pairs(sh, 0.5).orderBy("ida", "idb")
@@ -187,7 +197,13 @@ _NRM = "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOU
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicates (cos > 0.95): semantic dedup, the
     fuzziest tier — catches paraphrases that no token-level method sees.
-    Label-blocked (IVF-style) so the n² cross product never materializes."""
+    Label-blocked (IVF-style) so the n² cross product never materializes.
+
+    Scale: label blocking bounds each join bucket; per-pair cosine is a
+    codegen zip_with fold. At 100 TB the blocks come from IVF/LSH
+    bucketing (similarity_ivf_topk / similarity_rp_lsh_buckets) instead
+    of labels — same join shape.
+    """
     from wordcount_spark.operators.queries_similarity import cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -238,7 +254,12 @@ _SIMHASH_SQL = """
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprints (portable-hash mode — DuckDB reproduces
-    every fingerprint bit-for-bit)."""
+    every fingerprint bit-for-bit).
+
+    Scale: fingerprinting is a map-only fold over each doc's token
+    hashes (codegen); output is one 60-bit long per doc, no shuffle but
+    the output sort.
+    """
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, hash_mode="md5").orderBy("id")
 
@@ -264,7 +285,12 @@ def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: block on 4×15-bit bands (a pair within
     hamming ≤ 4 of 60 bits must agree on ≥1 full band by pigeonhole;
     wider distances are caught probabilistically), verify hamming ≤ 12.
-    Sub-quadratic: the join meets only docs sharing a band value."""
+    Sub-quadratic: the join meets only docs sharing a band value.
+
+    Scale: the band equi-join meets only same-band candidates
+    (sub-quadratic blocking); verification is a per-pair popcount —
+    the n^2 all-pairs product never materializes.
+    """
     docs = load_table(spark, sf_dir, "documents")
     fp = simhash(docs, hash_mode="md5")
     banded = fp.select(

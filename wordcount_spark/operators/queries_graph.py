@@ -214,7 +214,13 @@ def _undirected_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     then one distinct shuffle on the pairs. The self-join formulation
     (used by the oracles and the PageRank edge builder) costs an extra
     full shuffle of the fact table for the same result; a pathological
-    mega-basket would be the skew case — cap or salt baskets first."""
+    mega-basket would be the skew case — cap or salt baskets first.
+
+    Cached: every caller branches on this frame at least twice (degree
+    table + orientation/peel), and Spark does not reuse exchanges across
+    branches — uncached, the basket expansion of lineitem re-runs per
+    branch (measured ~10% of triangle-count wall-clock at sf0.1). |E|-row
+    pin of 2 longs, within the DEPLOY.md cache-pin policy."""
     parts = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
@@ -229,7 +235,7 @@ def _undirected_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     )
-    return pairs.select("e.u", "e.v").distinct()
+    return pairs.select("e.u", "e.v").distinct().cache()
 
 
 def _degrees(und: DataFrame) -> DataFrame:

@@ -91,7 +91,11 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     {CHUNK_S}): the final partial window is kept (a trailing remnant is
     real training data). ``posexplode`` gives the window ordinal directly;
     ``slice`` is 1-based with a length arg, the oracle's ``list_slice`` is
-    1-based with an inclusive end — both clamped to the token count."""
+    1-based with an inclusive end — both clamped to the token count.
+
+    Scale: narrow posexplode fan-out (one output row per stride) inside
+    codegen — no shuffle at all but the output sort.
+    """
     docs = load_table(spark, sf_dir, "documents")
     return chunk_windows(
         docs.select("doc_id", _toks().alias("toks"))
@@ -130,7 +134,11 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     email → phone → long-digit-run so earlier redactions can't create or
     destroy later matches (the placeholders contain no digits). Spark
     ``regexp_replace`` is replace-all by default; DuckDB needs the 'g'
-    flag — an easy silent-divergence trap."""
+    flag — an easy silent-divergence trap.
+
+    Scale: map-only regex projections in codegen (scan-speed, like the
+    quality gate); no shuffle but the output sort.
+    """
     docs = load_table(spark, sf_dir, "documents")
     synth = docs.select(
         "doc_id",
@@ -503,7 +511,12 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-overlapping), JVM-side. Ties break on (weight DESC, left, right) —
     total order, both engines deterministic.
 
-    Returns the learned merge table (step, left, right, weight)."""
+    Returns the learned merge table (step, left, right, weight).
+
+    Scale: see the paragraph above — corpus-sized work is ONE word count;
+    each merge iteration is vocabulary-sized with an O(1)-row collect
+    (the scalar pair decision), lineage truncated per step.
+    """
     merges, _ = _learn_bpe(spark, sf_dir)
     return spark.createDataFrame(
         merges, "step: int, left: string, right: string, weight: long"

@@ -35,7 +35,11 @@ _PAYLOAD_SQL = """
     """,
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload metadata (mime, size, content hash) — pure JVM path."""
+    """Binary payload metadata (mime, size, content hash) — pure JVM path.
+
+    Scale: map-only codegen projection (encode/length/md5) — no Python,
+    no shuffle but the output sort.
+    """
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
@@ -58,7 +62,11 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction through the Arrow-batched mapInPandas operator
-    (stub decode; checksum computed from the actual bytes in Python)."""
+    (stub decode; checksum computed from the actual bytes in Python).
+
+    Scale: one narrow Arrow-batched pass over the payload column; the
+    only exchange is the output sort.
+    """
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(with_binary_payload(docs)).orderBy("doc_id")
 
@@ -77,7 +85,12 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal columns joined: text rows ⋈ their embedding vectors by id
-    (the text+vector row a training pipeline feeds downstream)."""
+    (the text+vector row a training pipeline feeds downstream).
+
+    Scale: equi-join on the id key — one exchange per side (or zero with
+    co-bucketed storage, cf. tests/test_bucketing.py); payloads stay
+    columnar end to end.
+    """
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
@@ -114,7 +127,11 @@ def multimodal_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling fan-out inside the Pandas iterator (one row per
-    sampled frame of each 'video' payload)."""
+    sampled frame of each 'video' payload).
+
+    Scale: narrow mapInPandas — fan-out happens inside each Arrow batch
+    (bounded by max_frames per payload), no shuffle, no driver lists.
+    """
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(with_binary_payload(docs)).orderBy("doc_id", "frame_idx")
 
@@ -145,7 +162,11 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decode is the deterministic stub (no codecs in this container,
     `multimodal.py` module docstring); geometry math is vectorized numpy
     inside the batch iterator and mirrored exactly by the SQL oracle
-    (identical IEEE double ops on both engines)."""
+    (identical IEEE double ops on both engines).
+
+    Scale: narrow Arrow-batched pass, geometry vectorized in numpy per
+    batch; no shuffle but the output sort.
+    """
     from wordcount_spark.operators.multimodal import resize_media, with_binary_payload
 
     docs = load_table(spark, sf_dir, "documents")

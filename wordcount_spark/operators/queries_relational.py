@@ -69,7 +69,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP: hierarchical subtotals (flag, flag+status, grand total)."""
+    """ROLLUP: hierarchical subtotals (flag, flag+status, grand total).
+
+    Scale: Catalyst Expand replicates each row once per grouping level
+    BEFORE the single partial/final aggregation exchange — 3x map-side
+    rows, never 3 scans; state is O(groups summed over levels)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         dbl(F.sum(dec("l_quantity"))).alias("sum_qty"), F.count("*").alias("n")
@@ -85,7 +89,11 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE: all grouping-set combinations."""
+    """CUBE: all grouping-set combinations.
+
+    Scale: same Expand-then-aggregate plan as rollup with 2^k grouping
+    sets — map-side row replication is the cost knob (4x here); one
+    exchange regardless of k."""
     li = _t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         dbl(F.sum(dec("l_quantity"))).alias("sum_qty")
@@ -100,7 +108,10 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS via the SQL API (same Catalyst Expand plan)."""
+    """Explicit GROUPING SETS via the SQL API (same Catalyst Expand plan).
+
+    Scale: identical Expand + single-exchange plan as rollup/cube; listing
+    only the needed sets keeps the replication factor minimal."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
@@ -119,7 +130,11 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct aggregate (Expand-based two-phase plan in Spark)."""
+    """Distinct aggregate (Expand-based two-phase plan in Spark).
+
+    Scale: Spark plans count(DISTINCT x) as Expand + two aggregations —
+    dedup keyed on (group, x), then count per group; both exchanges are
+    map-side combinable, no driver-side distinct set ever exists."""
     return (
         _t(spark, sf_dir, "customer")
         .groupBy("c_nationkey")
@@ -151,7 +166,12 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     round a DECIMAL on Spark but a DOUBLE in DuckDB, which breaks ties at
     the 6th decimal differently. The median's interpolated midpoint of
     2dp values has zeros in decimal digits 4-6, so round(…,6) has no tie
-    surface there."""
+    surface there.
+    Scale: min/max/avg are one partial/final exchange; exact
+    ``percentile`` is the deliberate outlier — it buffers each group's
+    values (fine on bounded groups like returnflag, wrong for high-card
+    groups, where ``approx_percentile`` is the drop-in).
+    """
     from wordcount_spark.operators.relational import stable_round
 
     li = _t(spark, sf_dir, "lineitem")
@@ -350,7 +370,11 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join (EXISTS): customers with a pending order."""
+    """Left-semi join (EXISTS): customers with a pending order.
+
+    Scale: semi join ships only the join KEY of the right side (no
+    payload, no row multiplication); broadcasts while the filtered
+    orders key-set fits, shuffle-semi beyond."""
     cust = _t(spark, sf_dir, "customer")
     pend = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
     return (
@@ -372,7 +396,11 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): parts never ordered."""
+    """Left-anti join (NOT EXISTS): parts never ordered.
+
+    Scale: same key-only shipping as the semi join; anti joins cannot
+    early-out on the probe side, so the build side staying key-only is
+    what keeps 100 TB feasible."""
     part = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -393,7 +421,11 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-outer join with NULL-aware aggregates (0-order customers kept)."""
+    """Left-outer join with NULL-aware aggregates (0-order customers kept).
+
+    Scale: pre-aggregating orders per customer BEFORE the outer join
+    keeps the join at one row per (customer, match) — no fact-width
+    multiplication; one shuffle per side on the shared key."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return (
@@ -421,7 +453,12 @@ def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-outer join of two pre-aggregated sides."""
+    """Full-outer join of two pre-aggregated sides.
+
+    Scale: both sides collapse to O(customers) aggregates before the
+    join, so the full-outer (which can never broadcast) shuffles two
+    small frames on the same key — the aggregate-then-join ordering is
+    the scale decision."""
     cn = (
         _t(spark, sf_dir, "customer")
         .groupBy(F.col("c_nationkey").alias("k"))
@@ -480,7 +517,11 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running per-customer spend (frame: unbounded-preceding → current)."""
+    """Running per-customer spend (frame: unbounded-preceding → current).
+
+    Scale: one exchange on the partition key (customer), then the frame
+    is a streaming per-partition scan — running sums never materialize
+    the frame; skew = one giant customer, split by AQE."""
     orders = _t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -505,7 +546,10 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag(): days between consecutive orders per customer (NULL for first)."""
+    """lag(): days between consecutive orders per customer (NULL for first).
+
+    Scale: single customer-keyed exchange + per-partition sort; lag(1)
+    holds O(1) state per partition during the scan."""
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
@@ -532,7 +576,11 @@ def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank / dense_rank / ntile in one window pass."""
+    """rank / dense_rank / ntile in one window pass.
+
+    Scale: all three functions share ONE window spec, so Catalyst plans
+    one exchange + one sort — adding functions to the same spec is free;
+    a second spec would double the shuffles."""
     part = _t(spark, sf_dir, "part")
     w = Window.partitionBy("p_type").orderBy("p_size", "p_partkey")
     wd = Window.partitionBy("p_type").orderBy("p_size")
@@ -560,7 +608,11 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT: nations having both customers and suppliers."""
+    """INTERSECT: nations having both customers and suppliers.
+
+    Scale: Catalyst rewrites INTERSECT to aggregate + left-semi join —
+    distinct state is O(distinct keys) per side, never a row-level
+    cross-match."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.intersect(s).orderBy("nationkey")
@@ -577,7 +629,10 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT (set semantics): nations with customers but no suppliers.
-    ``subtract`` is EXCEPT DISTINCT; ``exceptAll`` would be multiset minus."""
+    ``subtract`` is EXCEPT DISTINCT; ``exceptAll`` would be multiset minus.
+
+    Scale: planned as aggregate + left-anti join on the key — O(distinct
+    keys) state per side, one exchange each."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s).orderBy("nationkey")
@@ -593,7 +648,10 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION (distinct)."""
+    """UNION (distinct).
+
+    Scale: union is free (partition concatenation); the DISTINCT costs
+    one hash-aggregate exchange over the combined keys."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.union(s).distinct().orderBy("nationkey")
@@ -611,7 +669,12 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot (wide→long) via stack-style union of typed columns."""
+    """Unpivot (wide→long) via stack-style union of typed columns.
+
+    Scale: map-only row expansion (k output rows per input row) inside
+    codegen — no shuffle except the output sort; column pruning still
+    reaches the scan because each stacked column is referenced
+    explicitly."""
     c = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("entity"),
         F.lit("customer").alias("kind"),
@@ -715,7 +778,11 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT ALL (multiset: min of per-side multiplicities)."""
+    """INTERSECT ALL (multiset: min of per-side multiplicities).
+
+    Scale: per-side count aggregation then a key join taking least() of
+    the multiplicities — state O(distinct keys), rows never
+    multiplied."""
     o = _t(spark, sf_dir, "orders")
     a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
     b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
@@ -732,7 +799,11 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT ALL (multiset minus: multiplicities subtract)."""
+    """EXCEPT ALL (multiset minus: multiplicities subtract).
+
+    Scale: same count-aggregate-then-join shape as INTERSECT ALL;
+    generate-side re-expansion is bounded by the surviving
+    multiplicities."""
     o = _t(spark, sf_dir, "orders")
     a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
     b = o.filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("k"))
@@ -757,7 +828,10 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL-handling battery (coalesce/nvl/nullif/IS NULL) over an outer
-    join that actually produces NULLs."""
+    join that actually produces NULLs.
+
+    Scale: outer join on the customer key (one exchange per side), then
+    a map-only NULL-function projection in codegen."""
     cust = _t(spark, sf_dir, "customer")
     pend = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
     j = cust.join(pend, cust.c_custkey == pend.o_custkey, "left")
@@ -794,7 +868,11 @@ def scalar_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_argmax_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic arg-max per group (customer with the top balance per
     nation): max + self-join + min-id tiebreak — the formulation that is
-    engine-portable (native max_by/arg_max leave ties unspecified)."""
+    engine-portable (native max_by/arg_max leave ties unspecified).
+
+    Scale: the max table is O(groups) (25 nations) and carries the only
+    broadcast; the join-back touches each row once; ties collapse in a
+    second O(groups) aggregate."""
     cust = _t(spark, sf_dir, "customer")
     mx = cust.groupBy("c_nationkey").agg(F.max("c_acctbal").alias("best_bal"))
     return (
@@ -933,7 +1011,10 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/time function battery."""
+    """Date/time function battery.
+
+    Scale: map-only projection inside whole-stage codegen; the only
+    exchange is the output sort."""
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.select(
@@ -968,7 +1049,10 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math function battery (rounded: doubles must stringify identically)."""
+    """Math function battery (rounded: doubles must stringify identically).
+
+    Scale: map-only codegen projection + output sort, like the date
+    battery."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.select(
@@ -1002,7 +1086,10 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conditional aggregation (manual pivot — the portable form)."""
+    """Conditional aggregation (manual pivot — the portable form).
+
+    Scale: the CASE-sums fold into ONE partial/final aggregation (k
+    pivot columns = k accumulators, not k passes); one exchange."""
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderpriority")
@@ -1026,7 +1113,12 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native .pivot() with explicit value list (no extra distinct pass)."""
+    """Native .pivot() with explicit value list (no extra distinct pass).
+
+    Scale: the explicit value list is the scale decision — without it
+    Spark runs a blocking distinct job over the pivot column first;
+    with it, pivot is the same one-exchange conditional aggregation as
+    scalar_conditional."""
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderpriority")
@@ -1044,7 +1136,11 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON extraction from the events.props string column."""
+    """JSON extraction from the events.props string column.
+
+    Scale: get_json_object is a map-only codegen projection; at 100 TB
+    parse each props string ONCE (from_json to a struct column) rather
+    than once per extracted field."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.select(
@@ -1067,7 +1163,10 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array functions over the vector column (size/element_at/aggregate)."""
+    """Array functions over the vector column (size/element_at/aggregate).
+
+    Scale: per-row array folds run inside codegen over the 64-element
+    embeddings — map-only, no Python, no shuffle but the output sort."""
     emb = _t(spark, sf_dir, "embeddings")
     return (
         emb.select(

@@ -239,7 +239,12 @@ def similarity_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame
     block of IVF training / cluster assignment, as a posexplode + groupBy.
     Float cast at the end avoids double-mean last-ulp drift across engines
     being visible in the hash (mean of ≤ hundreds of values: the float
-    rounding absorbs it)."""
+    rounding absorbs it).
+
+    Scale: posexplode multiplies rows by the 4 shown dims BEFORE one
+    (label, dim)-keyed map-side-combinable aggregation — state is
+    O(labels x dims), the IVF-training shape at any corpus size.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "label", F.posexplode("embedding").alias("i0", "v")
@@ -406,7 +411,13 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     production pattern: approximate scan bounds the candidate set, exact
     scoring restores ranking quality (recall bounded in
     tests/test_similarity_recall.py). At 100 TB the ADC scan reads only
-    the codes column; full vectors are fetched for ~50 rows."""
+    the codes column; full vectors are fetched for ~50 rows.
+
+    Scale: the scan reads 32-bit codes (64x smaller than raw vectors);
+    ADC is m in-memory table lookups per row against the broadcast
+    distance tables; only the top candidates fetch raw vectors for
+    exact re-rank.
+    """
     from wordcount_spark.operators.pq import pq_adc_topk, pq_encode, pq_train
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -680,3 +691,45 @@ def _register_binary_hamming():
 
 
 _register_binary_hamming()
+
+
+def _register_binary_hamming_recall():
+    """Quantization-quality evaluation: recall@10 of the binary tier
+    against the exact scan, composed from the two REGISTERED queries (and
+    their registered oracles), so the audit can never drift from the
+    operators it grades."""
+    from wordcount_spark.operators.relational import stable_round, stable_round_sql
+    from wordcount_spark.registry import ORACLES
+
+    oracle = f"""
+    WITH ex AS ({ORACLES["similarity_topk_bruteforce"]}),
+    hm AS ({ORACLES["similarity_binary_hamming_topk"]})
+    SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+           {stable_round_sql("count(*) / 10.0", 4)} AS recall_at_10
+    FROM ex JOIN hm USING (vec_id)
+    """
+
+    @register("eval_binary_hamming_recall", oracle)
+    def eval_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Recall@10 of sign-bit Hamming ANN vs the exact cosine scan for
+        the fixed query vector — the accept/reject number a quantization
+        rollout reads before routing traffic through the 32x-smaller
+        index (pair with eval_knn_label_precision, which grades the exact
+        scan itself against labels).
+
+        Scale: both sides are top-10 frames (O(k)); the join and count
+        are trivial at any corpus size — the cost is the two scans being
+        evaluated, each with its own documented scale story. The recall
+        is a ratio of small integers → stable_round (repo lattice
+        rule)."""
+        from wordcount_spark.registry import QUERIES
+
+        ex = QUERIES["similarity_topk_bruteforce"](spark, sf_dir).select("vec_id")
+        hm = QUERIES["similarity_binary_hamming_topk"](spark, sf_dir).select("vec_id")
+        return ex.join(hm, "vec_id").agg(
+            F.count("*").cast("long").alias("n_overlap"),
+            stable_round(F.count("*") / 10.0, 4).alias("recall_at_10"),
+        )
+
+
+_register_binary_hamming_recall()

@@ -18,7 +18,11 @@ from wordcount_spark.streaming.streams import (
 @register("streaming_wordcount", eager=True)  # rows-only: streaming op
 def q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship word count as an incremental stream, run to completion over
-    the finite test input via a memory sink."""
+    the finite test input via a memory sink.
+
+    Scale: complete-mode aggregation state is O(vocab) (Zipf-bounded);
+    each micro-batch does the same map-side-combinable count as the
+    batch flagship — the shuffle is per-batch, not per-stream."""
     return run_to_completion(
         streaming_wordcount(spark, sf_dir), "q_streaming_wordcount", "complete"
     )
@@ -26,7 +30,11 @@ def q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("streaming_windowed_counts", eager=True)  # rows-only: streaming op
 def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked tumbling-window event counts as a stream."""
+    """Watermarked tumbling-window event counts as a stream.
+
+    Scale: the watermark bounds window state to the lateness horizon —
+    expired windows emit and evict, so state is O(active windows x
+    types), independent of stream length."""
     return run_to_completion(
         streaming_windowed_counts(spark, sf_dir), "q_streaming_windows", "complete"
     )
@@ -35,7 +43,11 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("streaming_session_windows", eager=True)  # rows-only: streaming op
 def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked 30-min session windows per user, replayed to completion
-    (batch twin `window_session` is the oracle-backed shape)."""
+    (batch twin `window_session` is the oracle-backed shape).
+
+    Scale: session state is per-user open sessions only; the watermark
+    closes and evicts sessions past the horizon. One user-keyed
+    state-store partitioning, same key as the batch sessionizers."""
     from wordcount_spark.streaming.streams import streaming_session_windows
 
     return run_to_completion(
@@ -46,7 +58,11 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("streaming_purchase_attribution", eager=True)  # rows-only: streaming op
 def q_streaming_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (purchases × prior-hour clicks), both
-    sides watermarked so join state stays time-bounded."""
+    sides watermarked so join state stays time-bounded.
+
+    Scale: the interval condition + watermarks bound both join buffers
+    to the hour horizon — without them stream-stream join state grows
+    unboundedly; with them it is O(events per horizon)."""
     from wordcount_spark.streaming.streams import streaming_purchase_attribution
 
     return run_to_completion(
@@ -56,7 +72,11 @@ def q_streaming_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFr
 
 @register("streaming_dedup_events", eager=True)  # rows-only: streaming op
 def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dropDuplicatesWithinWatermark — bounded-state streaming exact dedup."""
+    """dropDuplicatesWithinWatermark — bounded-state streaming exact dedup.
+
+    Scale: the dedup key set is evicted past the watermark horizon —
+    state O(distinct keys per horizon), the property that makes exact
+    streaming dedup feasible at all at 100 TB/day."""
     from wordcount_spark.streaming.streams import streaming_dedup_events
 
     return run_to_completion(
@@ -92,7 +112,11 @@ def q_streaming_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame
     into a running latest-per-user state. Unusually for a streaming op the
     FINAL state is exactly SQL-expressible (global latest per key), so
     this one gets the strong oracle, not a rows-only check — the whole
-    stream → merge → state pipeline is differentially verified."""
+    stream → merge → state pipeline is differentially verified.
+
+    Scale: each micro-batch merges O(batch keys) into the state table —
+    the per-batch window dedup keys on user_id and the apply is an
+    anti-join + union, never a full-state rewrite."""
     from wordcount_spark.streaming.streams import streaming_incremental_merge
 
     return streaming_incremental_merge(spark, sf_dir)
@@ -103,7 +127,11 @@ def q_streaming_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event_type aggregate maintained incrementally by foreachBatch
     retract/assert deltas; the batch twin `cdc_incremental_agg` carries
     the SQL oracle, and the slicing-invariance replay test closes the
-    loop (tests/test_streaming.py)."""
+    loop (tests/test_streaming.py).
+
+    Scale: deltas are O(touched groups) per micro-batch (event_type
+    cardinality), so the maintained table updates in group-sized writes
+    regardless of stream volume."""
     from wordcount_spark.streaming.streams import streaming_agg_maintenance
 
     return streaming_agg_maintenance(spark, sf_dir)

@@ -53,7 +53,11 @@ def _toks(col: str = "text") -> F.Column:
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token counts + type-token ratio (lexical diversity)."""
+    """Per-document token counts + type-token ratio (lexical diversity).
+
+    Scale: per-row array ops (size/array_distinct) in codegen — map-only,
+    no token explode, no shuffle but the output sort.
+    """
     docs = load_table(spark, sf_dir, "documents")
     toks = _toks()
     return (
@@ -99,7 +103,12 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality gate (C4/Gopher-style rules): punctuation density,
-    stopword presence, token-length profile → keep/drop flag."""
+    stopword presence, token-length profile → keep/drop flag.
+
+    Scale: map-only codegen projection over the text column — the gate
+    runs at scan speed, which is why it is every pipeline's first
+    stage (cf. pipeline_curation, pipeline_pretrain_full).
+    """
     docs = load_table(spark, sf_dir, "documents")
     toks = _toks()
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -167,7 +176,12 @@ def _lang_score_sql(lang: str) -> str:
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram/stopword language ID: count lexicon hits per language, argmax
-    with a fixed alphabetical tiebreak (the CASE chain — deterministic)."""
+    with a fixed alphabetical tiebreak (the CASE chain — deterministic).
+
+    Scale: the lexicons are fixed literal arrays compiled into the
+    projection — per-doc scoring is map-only codegen, no join, no
+    shuffle but the output sort.
+    """
     docs = load_table(spark, sf_dir, "documents")
     toks = _toks()
     t = docs.select("doc_id", F.col("lang").alias("true_lang"), toks.alias("toks"))
@@ -211,7 +225,10 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-addressed document fingerprints (md5 — same digest in any
-    engine; the basis for exact dedup and shard routing)."""
+    engine; the basis for exact dedup and shard routing).
+
+    Scale: map-only md5 projection; no shuffle but the output sort.
+    """
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(
@@ -297,7 +314,11 @@ _BPE_RE = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 )
 def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace and a BPE-ish pre-tokenizer
-    regex (the LLM-cost-estimation primitive). Pure JVM regexp_extract_all."""
+    regex (the LLM-cost-estimation primitive). Pure JVM regexp_extract_all.
+
+    Scale: map-only regex projection in codegen; no shuffle but the
+    output sort.
+    """
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(
@@ -335,7 +356,11 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 content hash, equal fingerprints here respect token ORDER with
     arithmetic cheap enough to run at 100 TB. 28-bit token hashes keep
     a*B + b < 2^62 (no overflow under ANSI mode) — and DuckDB reproduces
-    every value exactly."""
+    every value exactly.
+
+    Scale: per-row array fold in codegen (one multiply-add per token);
+    map-only, no shuffle but the output sort.
+    """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
     hs = F.transform(
@@ -354,7 +379,12 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketches (HLL++ distinct, quantile sketch): the cheap
     100 TB path where exactness isn't required. No SQL oracle — sketch
     estimates are engine-specific; tests/test_textstats.py bounds the
-    error against exact values instead."""
+    error against exact values instead.
+
+    Scale: sketches are fixed-size mergeable state — the exchange carries
+    KB-sized accumulators per group regardless of row count (the whole
+    point vs exact distinct at 100 TB).
+    """
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -461,7 +491,12 @@ def json_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, ``variant_get`` with a typed path — the open-schema ingestion
     pattern (shreds at read, no fixed struct schema needed up front).
     Unlike ``from_json`` (json_map_props) the variant binary encoding is
-    reparse-free on every later field access."""
+    reparse-free on every later field access.
+
+    Scale: parse_json runs once per row (map-only); VARIANT keeps the
+    shredded binary columnar so typed paths avoid re-parsing — the
+    open-schema analog of the from_json struct path.
+    """
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.select(
@@ -488,7 +523,11 @@ def json_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """props JSON → typed MapType (from_json), element access + key count —
-    the semi-structured column pattern."""
+    the semi-structured column pattern.
+
+    Scale: from_json parses each props string ONCE into a map column
+    (map-only codegen); downstream field access is free of re-parsing.
+    """
     ev = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,int>")
     return (
@@ -515,7 +554,12 @@ def json_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_token_freq_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token-frequency table per language (raw tokens, no
-    normalization — the vocabulary-building precursor)."""
+    normalization — the vocabulary-building precursor).
+
+    Scale: explode + one (lang, token)-keyed map-side-combinable
+    aggregation — the same single-exchange shape as the flagship's raw
+    count stage.
+    """
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select("lang", F.explode(_toks()).alias("tok"))
@@ -910,7 +954,13 @@ def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     group ids), which is what you'd deploy at 100 TB if the logic stayed
     SQL-expressible. Repeated runs are also a real curation signal
     (boilerplate/stutter detection, cf. text_repetition_filter's
-    doc-level ratios)."""
+    doc-level ratios).
+
+    Scale: the UDTF is row-at-a-time Python — kept ONLY as the
+    table-function API demonstration; the equivalent set-based form is
+    the lateral posexplode + run-length grouping the oracle uses, which
+    is what a 100 TB job should run.
+    """
     import re as _re
 
     from pyspark.sql.functions import udtf

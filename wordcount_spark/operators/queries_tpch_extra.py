@@ -825,7 +825,11 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders having at least one late line. EXISTS plans as a left-semi hash
     join on l_orderkey with the date comparison as the residual condition —
     the quarter filter pushes into the orders scan first, so the semi join
-    probes with ~1/24th of orders."""
+    probes with ~1/24th of orders.
+
+    Scale: EXISTS plans as a left-semi hash join on l_orderkey (key-only
+    build side), then one priority-keyed aggregation exchange.
+    """
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     quarter = o.filter(

@@ -70,7 +70,12 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 24h windows every 12h: each event lands in size/slide = 2
-    windows (Spark expands exactly that; the oracle unnests k=0,1)."""
+    windows (Spark expands exactly that; the oracle unnests k=0,1).
+
+    Scale: map-side row expansion by the fixed size/slide factor (2x)
+    before one windowed aggregation exchange — replication factor is a
+    constant chosen in the query, not data-dependent.
+    """
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 day", "12 hours").alias("w"), "event_type")
@@ -116,6 +121,9 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark merges events whose gap < 30 min; window end = last event + gap
     (exclusive). The oracle derives the same sessions with lag + running
     sum — the portable SQL spelling of sessionization.
+
+    Scale: one user-keyed exchange; session merging is a per-partition
+    streaming pass. Same shuffle the gap-sessionizer and funnel reuse.
     """
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -459,7 +467,12 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp peers, so the result is deterministic under ties with no
     tiebreak column needed. The frame bound is numeric microseconds on
     both engines; the framed sum goes through DECIMAL because a sliding
-    frame re-adds doubles in engine-specific order."""
+    frame re-adds doubles in engine-specific order.
+
+    Scale: one user-keyed exchange + per-partition time sort; the RANGE
+    frame is evaluated with a sliding two-pointer over each partition
+    (state = the in-frame buffer, bounded by events-per-hour-per-user).
+    """
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")

@@ -41,25 +41,41 @@ def _wc_sql(mode: str = "head", extra_keys: tuple[str, ...] = ()) -> str:
 
 @register("wordcount", _wc_sql())
 def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: the reference query (HEAD-source normalizer semantics)."""
+    """Flagship: the reference query (HEAD-source normalizer semantics).
+
+    Scale: vocabulary pre-aggregation counts RAW tokens first and
+    normalizes only the distinct vocabulary (O(vocab) regex work, not
+    O(tokens)); two map-side-combinable exchanges + the output sort, all
+    detailed in ``operators/wordcount.py::count_words``."""
     return word_count(spark, sf_dir)
 
 
 @register("wordcount_stale", _wc_sql(mode="stale"))
 def q_wordcount_stale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stale-binary normalizer variant (produced the committed goldens)."""
+    """Stale-binary normalizer variant (produced the committed goldens).
+
+    Scale: identical plan to the flagship; only the normalizer regex
+    differs (same vocabulary pre-aggregation, same two exchanges)."""
     return word_count(spark, sf_dir, mode="stale")
 
 
 @register("wordcount_per_source", _wc_sql(extra_keys=("source",)))
 def q_wordcount_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-file-analog counts (sequential-binary semantics generalized)."""
+    """Per-file-analog counts (sequential-binary semantics generalized).
+
+    Scale: adds `source` to both aggregation keys, so the exchanges
+    carry (source, token); vocabulary pre-aggregation still bounds the
+    normalize work at O(per-source vocab)."""
     return word_count(spark, sf_dir, group_cols=["source"])
 
 
 @register("wordcount_per_lang", _wc_sql(extra_keys=("lang",)))
 def q_wordcount_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language counts (extension analytics dimension)."""
+    """Per-language counts (extension analytics dimension).
+
+    Scale: same keyed-aggregation shape with the low-cardinality `lang`
+    key; language skew (English dominates real corpora) is the 100 TB
+    hazard, covered by AQE skew splitting and the salted variant."""
     return word_count(spark, sf_dir, group_cols=["lang"])
 
 
@@ -103,7 +119,11 @@ def q_wordcount_ci_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     on BOTH sides: for non-ASCII, ICU collation equality and Java
     full-casemap lower() can diverge from DuckDB's simple-casemap
     lower() (e.g. U+0130), so without the pin the oracle MATCH would
-    silently depend on corpus content surviving regeneration."""
+    silently depend on corpus content surviving regeneration.
+
+    Scale: same single-exchange hash aggregation as the flagship — the
+    collation changes the grouping comparator, not the plan shape.
+    """
     docs = load_table(spark, sf_dir, "documents")
     words = words_from_text(docs.select("text"), mode="stale").where(
         F.col("word").rlike("^[\\x00-\\x7f]*$")
@@ -146,5 +166,9 @@ def q_wordcount_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_wordcount_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's two scalars: total words + unique words."""
+    """The reference's two scalars: total words + unique words.
+
+    Scale: one pass over the already-grouped vocabulary frame; sum +
+    count collapse in a single global aggregate whose all-to-one
+    exchange carries one row per upstream partition."""
     return word_count_totals(spark, sf_dir)
