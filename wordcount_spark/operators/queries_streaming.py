@@ -6,6 +6,7 @@ which closes the loop)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from wordcount_spark.registry import register
 from wordcount_spark.streaming.streams import (
@@ -15,17 +16,30 @@ from wordcount_spark.streaming.streams import (
 )
 
 
-@register("streaming_wordcount", eager=True)  # rows-only: streaming op
+def _streaming_wc_oracle() -> str:
+    from wordcount_spark.operators.queries_wordcount import _wc_sql
+
+    return _wc_sql()
+
+
+# STRONG oracle despite being a streaming op: complete-mode state after
+# consuming the whole finite input IS the batch word count, so the batch
+# flagship's SQL checks the entire stream → state pipeline (same upgrade
+# streaming_incremental_merge has; eager: the callable drives the stream)
+@register("streaming_wordcount", _streaming_wc_oracle(), eager=True)
 def q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship word count as an incremental stream, run to completion over
-    the finite test input via a memory sink.
+    the finite test input via a memory sink; the final complete-mode state
+    is hash-compared against the BATCH flagship's oracle — the strongest
+    check a streaming op can carry.
 
     Scale: complete-mode aggregation state is O(vocab) (Zipf-bounded);
     each micro-batch does the same map-side-combinable count as the
     batch flagship — the shuffle is per-batch, not per-stream."""
-    return run_to_completion(
+    final = run_to_completion(
         streaming_wordcount(spark, sf_dir), "q_streaming_wordcount", "complete"
     )
+    return final.select("word", F.col("count").alias("cnt")).orderBy("word")
 
 
 @register("streaming_windowed_counts", eager=True)  # rows-only: streaming op

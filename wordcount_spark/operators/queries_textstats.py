@@ -1493,3 +1493,60 @@ def _register_gopher_rules():
 
 
 _register_gopher_rules()
+
+
+#: weighted-reservoir sample size
+WRS_K = 20
+
+
+def _register_weighted_reservoir():
+    from wordcount_spark.operators.relational import stable_round, stable_round_sql
+
+    oracle = f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             {stable_round_sql(
+                 "ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT + 1)"
+                 " / 268435457.0) / n_chars", 8)} AS sort_key
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars, sort_key
+    FROM keyed
+    ORDER BY sort_key DESC, doc_id
+    LIMIT {WRS_K}
+    """
+
+    @register("sample_weighted_reservoir", oracle)
+    def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Weighted sampling without replacement (Efraimidis–Spirakis
+        A-ES): each doc gets key = ln(u) / w for a deterministic uniform
+        u ∈ (0,1) (md5-derived, so re-runs and the oracle pick the SAME
+        sample) and weight w = n_chars; the top-k keys ARE a weighted
+        reservoir sample — the length-biased pick a mixture builder uses
+        to favor substantial documents without a global sort by weight.
+
+        Engine parity: u is the exact rational (h+1)/(2^28+1) from the
+        28-bit md5 slice (positive in both engines' BIGINT); one ln per
+        row over exact integers, and the key is stable_round'ed to 8dp
+        BEFORE the ranking compare with a doc_id tiebreak, so top-k
+        membership cannot flip on libm ulp (repo ln/lattice rules).
+
+        Scale: map-only key projection (md5 + one ln, dwarfed by the
+        scan), then TakeOrdered top-k — no shuffle, no global sort, no
+        reservoir state beyond k rows per partition."""
+        docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+        h = F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10
+        ).cast("long")
+        key = stable_round(
+            F.log((h + 1) / F.lit(268435457.0)) / F.col("n_chars"), 8
+        )
+        return (
+            docs.select("doc_id", "lang", "n_chars", key.alias("sort_key"))
+            .orderBy(F.desc("sort_key"), "doc_id")
+            .limit(WRS_K)
+        )
+
+
+_register_weighted_reservoir()
