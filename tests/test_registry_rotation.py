@@ -97,3 +97,33 @@ def test_driver_checked_reads_committed_rounds():
     seen = driver_checked()
     assert {"wordcount", "q1_pricing_summary", "agg_cube"} <= seen
     assert len(seen) >= 77
+
+
+def test_failed_driver_rows_do_not_count_as_checked(tmp_path, monkeypatch):
+    """A red CORRECTNESS row must leave the query in the unseen class so
+    it re-enters the next graded window until the driver sees it pass."""
+    import json
+
+    from wordcount_spark import registry
+
+    rows = {
+        "green_q": {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "err": None},
+        "red_q": {"rows_match": True, "schema_match": True,
+                  "hash_match": False, "err": None},
+        "err_q": {"rows_match": None, "schema_match": None,
+                  "hash_match": None, "err": "boom"},
+        "rows_only_green": {"rows_match": True, "schema_match": None,
+                            "hash_match": None, "err": None},
+    }
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(rows))
+    import glob as glob_mod
+
+    monkeypatch.setattr(
+        glob_mod, "glob", lambda pat: [str(tmp_path / "CORRECTNESS_r99.json")]
+    )
+    seen = registry.driver_checked()
+    assert "green_q" in seen
+    assert "rows_only_green" in seen
+    assert "red_q" not in seen
+    assert "err_q" not in seen

@@ -89,10 +89,13 @@ SENTINELS: tuple[str, ...] = (
 
 
 def driver_checked() -> frozenset[str]:
-    """Names with at least one driver-side correctness row in a committed
-    CORRECTNESS_r*.json (any round, any verdict — a red row is still
-    evidence the driver exercised the query; fixes are re-proved by the
-    sentinel set and the local mirror)."""
+    """Names with at least one PASSING driver-side correctness row in a
+    committed CORRECTNESS_r*.json: hash_match for oracle-backed rows, or
+    rows_match for rows-only rows. A FAILED row does NOT count — the
+    query stays in the unseen class, so it re-enters the very next
+    graded window and keeps re-entering until the driver itself sees the
+    fix pass (a red row rotating out unverified would be the quiet way
+    to bury a regression)."""
     import glob
     import json
     import os
@@ -101,9 +104,19 @@ def driver_checked() -> frozenset[str]:
     names: set[str] = set()
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         try:
-            names |= set(json.load(open(path)))
+            rows = json.load(open(path))
         except (OSError, ValueError):
             continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            passed = (
+                row.get("hash_match")
+                if row.get("hash_match") is not None
+                else row.get("rows_match")
+            )
+            if passed and not row.get("err"):
+                names.add(name)
     return frozenset(names)
 
 
