@@ -768,10 +768,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     price from lineitem stands in for ps_supplycost): for each small part,
     the EUROPE supplier(s) selling it cheapest. The correlated min
     decorrelates to an aggregate-of-an-aggregate joined back — both the
-    (part, supplier) cost frame and its per-part min are part-cardinality,
-    so everything after the one lineitem agg broadcasts. The unit-cost
-    double division is computed once and reused on both compare sides;
-    identical operands give identical IEEE results in Spark and DuckDB."""
+    (part, supplier) cost frame and its per-part min are part-cardinality
+    (they GROW with SF, so they carry NO broadcast hint: the static plan
+    shows sort-merge joins that AQE converts back to broadcasts at bench
+    SF, and at 100x they stay shuffles — the deliberate trade of r3's
+    hint policy, two static exchanges for a plan that cannot melt). The
+    unit-cost double division is computed once and reused on both compare
+    sides; identical operands give identical IEEE results in Spark and
+    DuckDB."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     s = _t(spark, sf_dir, "supplier")
@@ -954,10 +958,12 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (shipped quantity stands in for ps_availqty): one
     nation's suppliers who moved > 300 units of PROMO parts in 1997. The
-    inner GROUP BY + HAVING produces a tiny qualifying-supplier set that
-    broadcasts as a left-semi onto the (already broadcast-joined) supplier×
-    nation frame; the date + p_type filters push into the lineitem/part
-    scans."""
+    inner GROUP BY + HAVING produces a qualifying-supplier set applied
+    as a left-semi onto the (broadcast nation-joined) supplier frame; the
+    set is O(suppliers), so it carries NO broadcast hint — AQE broadcasts
+    it at bench SF, shuffle-semi at scale (one extra static exchange, the
+    r3 hint-policy trade). The date + p_type filters push into the
+    lineitem/part scans."""
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     li = _t(spark, sf_dir, "lineitem")
