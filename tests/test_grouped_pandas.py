@@ -137,3 +137,35 @@ def test_ppm_decode_roundtrip_spark(spark):
         assert r["sum_g"] == int(rgb[:, 1].sum())
         assert r["sum_b"] == int(rgb[:, 2].sum())
         assert r["max_rgb"] == int(rgb.max())
+
+
+def test_bmp_decode_roundtrip_spark(spark):
+    """24-bit BMP synth → decode must undo bottom-up rows, BGR order, and
+    4-byte row padding to reproduce the top-down RGB formula (independent
+    numpy recomputation; widths cycle through every padding amount)."""
+    import numpy as np
+
+    from wordcount_spark.operators.multimodal import (
+        BMP_A,
+        BMP_B,
+        BMP_C,
+        bmp_dims,
+        decode_bmp_features,
+        synth_bmp_payload,
+    )
+
+    docs = spark.range(0, 16).withColumnRenamed("id", "doc_id")
+    rows = {r["doc_id"]: r for r in decode_bmp_features(synth_bmp_payload(docs)).collect()}
+    pads = set()
+    for d in range(16):
+        w, h = bmp_dims(d)
+        pads.add((-w * 3) % 4)
+        idx = np.arange(w * h, dtype=np.int64)
+        chans = [(d * BMP_A + idx * BMP_B + c * BMP_C) % 256 for c in range(3)]
+        r = rows[d]
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+        assert r["sum_r"] == int(chans[0].sum())
+        assert r["sum_g"] == int(chans[1].sum())
+        assert r["sum_b"] == int(chans[2].sum())
+        assert r["max_rgb"] == int(max(c.max() for c in chans))
+    assert pads == {0, 1, 2, 3}  # every padding amount exercised

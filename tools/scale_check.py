@@ -114,12 +114,59 @@ def pipelines():
             )
         )
 
+    def bm25(df):
+        # the retrieval_bm25_topk shape on the synth corpus: ONE token
+        # scan → per-doc conditional term counts + doc length, corpus
+        # stats, per-term df, score, per-query top-k — checks that the
+        # serving-side pipeline's growth is the token scan, nothing else
+        from pyspark.sql import Window
+
+        terms = ["join", "hash", "scan"]  # present in the synth vocabulary
+        toks = df.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+            ).alias("tok"),
+        )
+        counts = toks.groupBy("doc_id").agg(
+            F.count("*").alias("dl"),
+            *[
+                F.sum((F.col("tok") == t).cast("long")).alias(f"tf_{i}")
+                for i, t in enumerate(terms)
+            ],
+        ).cache()
+        corpus = counts.agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        )
+        stack = "stack({n}, {args}) AS (term, tf)".format(
+            n=len(terms),
+            args=", ".join(f"'{t}', tf_{i}" for i, t in enumerate(terms)),
+        )
+        tf = counts.select("doc_id", "dl", F.expr(stack)).where(F.col("tf") > 0)
+        df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+        idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        score = idf * (F.col("tf") * 2.2 / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))))
+        scored = (
+            tf.join(F.broadcast(df_), "term")
+            .crossJoin(F.broadcast(corpus))
+            .select("term", "doc_id", score.alias("s"))
+        )
+        w = Window.partitionBy("term").orderBy(F.desc("s"), "doc_id")
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where("rk <= 10")
+            .groupBy()
+            .agg(F.count("*").alias("n"), F.sum("s").alias("total"))
+        )
+
     return {
         "wordcount": wc,
         "minhash_lsh": lsh,
         "quality_gate": quality,
         "chunk_fingerprints": chunks,
         "pack_sequences": pack,
+        "bm25_topk": bm25,
     }
 
 

@@ -480,3 +480,109 @@ def decode_mulaw_features(wav_df: DataFrame) -> DataFrame:
         schema="doc_id long, sample_rate long, n_samples long, "
         "sum_abs long, sum_sq long, peak_abs long",
     )
+
+
+# --- BMP (24-bit uncompressed): the classic quirk farm — bottom-up row
+# order, BGR byte order, rows padded to 4 bytes -----------------------------
+
+BMP_A = 7901
+BMP_B = 104711
+BMP_C = 31
+
+
+def bmp_dims(doc_id: int) -> tuple[int, int]:
+    # odd widths on purpose: w*3 % 4 cycles through every padding amount
+    return 9 + doc_id % 8, 6 + doc_id % 5
+
+
+def synth_bmp_payload(docs: DataFrame) -> DataFrame:
+    """doc_id → a VALID 24-bit uncompressed BMP whose TOP-DOWN RGB pixel
+    (x, y, c) is ``(doc_id*7901 + (y*w + x)*104711 + c*31) % 256``. The
+    writer emits the real on-disk layout: BITMAPFILEHEADER +
+    BITMAPINFOHEADER(40), bottom row first, BGR within each pixel, rows
+    padded to 4-byte boundaries."""
+    import struct
+
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w, h = bmp_dims(int(doc_id))
+                idx = np.arange(w * h, dtype=np.int64)  # y*w + x, top-down
+                rgb = np.stack(
+                    [
+                        (int(doc_id) * BMP_A + idx * BMP_B + c * BMP_C) % 256
+                        for c in range(3)
+                    ],
+                    axis=1,
+                ).astype(np.uint8).reshape(h, w, 3)
+                bgr = rgb[::-1, :, ::-1]  # bottom-up rows, BGR channels
+                row_bytes = w * 3
+                pad = (-row_bytes) % 4
+                rows = b"".join(
+                    bgr[y].tobytes() + b"\x00" * pad for y in range(h)
+                )
+                pixel_size = (row_bytes + pad) * h
+                hdr = (
+                    b"BM"
+                    + struct.pack("<IHHI", 54 + pixel_size, 0, 0, 54)
+                    + struct.pack(
+                        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, pixel_size, 2835, 2835, 0, 0
+                    )
+                )
+                payloads.append(hdr + rows)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def decode_bmp_features(bmp_df: DataFrame) -> DataFrame:
+    """REAL BMP decode from header fields alone: validate the magic and
+    the 24-bit uncompressed layout, read width/height/offset from the
+    headers, strip the per-row padding, flip bottom-up to top-down,
+    reorder BGR→RGB, and aggregate per-channel integer-exact features.
+    Getting ANY of padding/flip/channel-order wrong diverges the channel
+    sums from the oracle's top-down RGB formula."""
+    import struct
+
+    import numpy as np
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "n_pixels",
+                                   "sum_r", "sum_g", "sum_b", "max_rgb")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:2] != b"BM":
+                    raise ValueError("not a BMP payload")
+                (data_off,) = struct.unpack("<I", buf[10:14])
+                hdr_size, w, h, planes, bpp, compression = struct.unpack(
+                    "<IiiHHI", buf[14:34]
+                )
+                if (hdr_size, planes, bpp, compression) != (40, 1, 24, 0):
+                    raise ValueError("unsupported BMP layout")
+                if h <= 0:
+                    raise ValueError("top-down BMPs not expected here")
+                stride = (w * 3 + 3) // 4 * 4
+                rows = np.frombuffer(
+                    buf[data_off : data_off + stride * h], dtype=np.uint8
+                ).reshape(h, stride)
+                bgr = rows[:, : w * 3].reshape(h, w, 3)
+                rgb = bgr[::-1, :, ::-1].astype(np.int64)  # flip + BGR→RGB
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["sum_r"].append(int(rgb[:, :, 0].sum()))
+                out["sum_g"].append(int(rgb[:, :, 1].sum()))
+                out["sum_b"].append(int(rgb[:, :, 2].sum()))
+                out["max_rgb"].append(int(rgb.max()))
+            yield pd.DataFrame(out)
+
+    return bmp_df.mapInPandas(
+        dec,
+        schema="doc_id long, width long, height long, n_pixels long, "
+        "sum_r long, sum_g long, sum_b long, max_rgb long",
+    )

@@ -357,3 +357,52 @@ def multimodal_decode_audio_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_mulaw_features(synth_mulaw_payload(docs)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_decode_image_bmp",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             9 + doc_id % 8 AS width,
+             6 + doc_id % 5 AS height
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, width, height, width * height AS n_pixels,
+             list_transform(range(width * height),
+                            p -> (doc_id * 7901 + p * 104711) % 256) AS r,
+             list_transform(range(width * height),
+                            p -> (doc_id * 7901 + p * 104711 + 31) % 256) AS g,
+             list_transform(range(width * height),
+                            p -> (doc_id * 7901 + p * 104711 + 62) % 256) AS b
+      FROM dims
+    )
+    SELECT doc_id, width, height, n_pixels,
+           CAST(list_sum(r) AS BIGINT) AS sum_r,
+           CAST(list_sum(g) AS BIGINT) AS sum_g,
+           CAST(list_sum(b) AS BIGINT) AS sum_b,
+           CAST(greatest(list_max(r), list_max(g), list_max(b)) AS BIGINT)
+             AS max_rgb
+    FROM px ORDER BY doc_id
+    """,
+)
+def multimodal_decode_image_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode, no codec library — the third codec-free image
+    format, and the one with genuine container quirks: 24-bit BMPs store
+    rows BOTTOM-UP, pixels as BGR, and pad every row to a 4-byte
+    boundary (widths here cycle through all padding amounts on purpose).
+    The synth stage writes that real on-disk layout; the decode stage
+    must read the headers, strip padding, flip, and reorder channels to
+    reproduce the oracle's top-down RGB formula — any one of the three
+    classic BMP mistakes diverges the per-channel sums immediately.
+
+    Scale: same narrow two-UDF mapInPandas shape as the PGM/PPM/WAV
+    paths; no shuffle but the output sort."""
+    from wordcount_spark.operators.multimodal import (
+        decode_bmp_features,
+        synth_bmp_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_bmp_features(synth_bmp_payload(docs)).orderBy("doc_id")
