@@ -53,6 +53,10 @@ BNLJ_OK = {
     # composes the two allowlisted scans above (bruteforce + hamming),
     # inheriting their 1-row broadcast fan-outs
     "eval_binary_hamming_recall",
+    # 8-row seed-centroid fan-out (SemDeDup assignment scan)
+    "dedup_semantic_semdedup",
+    # 1-row token-total fan-out onto the O(candidates) count frame
+    "text_heavyhitters_twopass",
 }
 
 # streaming / iterative queries execute eagerly inside the callable —

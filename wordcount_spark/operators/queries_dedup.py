@@ -936,3 +936,98 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist.withColumn("n_pairs_at_or_above", F.sum("n_pairs").over(w).cast("long"))
         .orderBy("jaccard_decile")
     )
+
+
+_SEMDEDUP_SQL = """
+    WITH seeds AS (
+      SELECT vec_id AS seed_id, embedding AS semb FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT e.vec_id, s.seed_id,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(s.semb[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(s.semb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    asg AS (
+      SELECT vec_id, seed_id AS cluster FROM (
+        SELECT vec_id, seed_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, seed_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    m AS (
+      SELECT e.vec_id, e.embedding, a.cluster
+      FROM embeddings e JOIN asg a USING (vec_id)
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(range(1, 65),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) > 0.3
+    )
+    SELECT m.vec_id, m.cluster FROM m LEFT JOIN dups d ON m.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL ORDER BY m.vec_id
+"""
+
+
+@register("dedup_semantic_semdedup", _SEMDEDUP_SQL)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic cluster dedup (Abbas et al. 2023, arXiv:
+    2303.09540): assign every embedding to its nearest of k deterministic
+    seed centroids (the k lowest vec_ids — reproducible in plain SQL,
+    unlike trained k-means), then prune WITHIN each cluster: a vector is
+    a duplicate if a lower-id cluster-mate sits above cosine 0.3.
+    (The paper keeps the member closest to the centroid; lower-id-wins is
+    this repo's uniform survivor policy across every dedup tier.)
+    Survivors come back with their cluster id.
+
+    Engine parity: all cosines are sequential double-precision folds —
+    identical in Spark (zip_with/aggregate) and DuckDB (list_transform/
+    list_sum) — so the nearest-centroid argmax (row_number ordered by c
+    DESC, seed_id) and the 0.3 comparison bind identically; no rounding
+    needed because no float reaches the output.
+
+    Scale: the seed frame is O(k) (broadcast, allowlisted BNLJ for the
+    fan-out); assignment is one scan × k folds, no shuffle; the pairwise
+    stage shuffles once on cluster id and is quadratic ONLY within a
+    cluster — at 100 TB k grows ∝ N to hold E[cluster size] constant
+    (SemDeDup uses k≈100k for LAION), and a skewed cluster re-splits by
+    sub-clustering before the self-join.
+    """
+    from pyspark.sql import Window
+
+    from wordcount_spark.operators.queries_similarity import cosine, dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("semb")
+    )
+    c = dot(F.col("embedding"), F.col("semb")) / (
+        l2_norm(F.col("embedding")) * l2_norm(F.col("semb"))
+    )
+    scored = emb.crossJoin(F.broadcast(seeds)).select("vec_id", "seed_id", c.alias("c"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), "seed_id")
+    asg = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("cluster"))
+    )
+    m = emb.join(asg, "vec_id").select("vec_id", "embedding", "cluster")
+    a, b = m.alias("a"), m.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cosine(F.col("a.embedding"), F.col("b.embedding")) > 0.3)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        m.join(dups, "vec_id", "left_anti").select("vec_id", "cluster").orderBy("vec_id")
+    )

@@ -1550,3 +1550,55 @@ def _register_weighted_reservoir():
 
 
 _register_weighted_reservoir()
+
+
+@register(
+    "text_heavyhitters_twopass",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM toks),
+    cnt AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+    SELECT tok, cnt FROM cnt, tot WHERE cnt >= n // 100
+    ORDER BY cnt DESC, tok
+    """,
+)
+def text_heavyhitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact φ=1% heavy hitters WITHOUT shuffling the token stream: pass 1
+    runs a per-partition Misra-Gries summary (capacity 256 ≥ 1/φ, so the
+    candidate union provably contains every ≥1% token — see
+    operators/sketches.py), pass 2 exactly recounts candidates only and
+    applies the integer threshold ``n div 100`` (integer arithmetic on
+    both engines — no float-threshold ulp edge). The oracle recomputes the
+    SAME answer the direct way (full groupBy + threshold), which is
+    exactly the guarantee under test: superset candidates + exact recount
+    ≡ exact heavy hitters, independent of partitioning.
+
+    Scale: pass 1 moves O(P×256) candidate rows; pass 2's groupBy is
+    map-side combined to O(P×|candidates|) partials; the 1-row total
+    fans out via a broadcast nested-loop (allowlisted). The full stream
+    is scanned twice but shuffled never — the only exact-HH shape that
+    survives 100 TB of tokens.
+    """
+    from wordcount_spark.operators.sketches import misra_gries_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("tok")
+    )
+    cand = misra_gries_candidates(toks, "tok", capacity=256).distinct()
+    counts = toks.join(cand, "tok", "left_semi").groupBy("tok").agg(
+        F.count("*").alias("cnt")
+    )
+    total = toks.agg(F.count("*").alias("n"))
+    return (
+        counts.crossJoin(total)
+        .filter(F.col("cnt") >= F.expr("n div 100"))
+        .select("tok", "cnt")
+        .orderBy(F.desc("cnt"), "tok")
+    )
