@@ -56,6 +56,7 @@ def _load_all() -> None:
         "queries_graph",
         "queries_multimodal",
         "queries_retrieval",
+        "queries_formats",
     ):
         try:
             __import__(f"wordcount_spark.operators.{mod}")
