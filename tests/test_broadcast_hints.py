@@ -29,6 +29,7 @@ ALLOWED: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/queries_asof.py", "range_join_value_bands"): (1, "4 literal value bands"),
     ("operators/queries_graph.py", "_hint_if_small"): (1, "gated on a MEASURED row count (cached frame); unhinted over the cap"),
     ("operators/queries_dedup.py", "pipeline_rag_corpus"): (1, "3 fixed query vectors"),
+    ("operators/queries_dedup.py", "dedup_semantic_semdedup"): (1, "8 fixed seed centroids (vec_id < 8)"),
     ("operators/queries_llmprep.py", "mix_token_budget_waterfill"): (4, "1-row budget/level scalars onto the O(sources) frame"),
     ("operators/queries_llmprep.py", "mix_rebalance_to_min"): (2, "1-row min scalar + O(langs) rate table (fixed lang enumeration)"),
     ("operators/queries_llmprep.py", "pipeline_pretrain_full"): (2, "1-row min scalar + O(langs) rate table"),

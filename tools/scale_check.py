@@ -160,6 +160,30 @@ def pipelines():
             .agg(F.count("*").alias("n"), F.sum("s").alias("total"))
         )
 
+    def heavyhitters(df):
+        # text_heavyhitters_twopass shape: per-partition Misra-Gries
+        # candidates + exact recount of candidates only — the token
+        # stream is scanned twice, shuffled never, so growth should
+        # track the scan
+        from wordcount_spark.operators.sketches import misra_gries_candidates
+
+        toks = df.select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+            ).alias("tok")
+        )
+        cand = misra_gries_candidates(toks, "tok", 256).distinct()
+        counts = toks.join(cand, "tok", "left_semi").groupBy("tok").agg(
+            F.count("*").alias("cnt")
+        )
+        total = toks.agg(F.count("*").alias("n"))
+        return (
+            counts.crossJoin(total)
+            .filter(F.col("cnt") >= F.expr("n div 100"))
+            .groupBy()
+            .agg(F.count("*").alias("n_hh"), F.sum("cnt").alias("hh_mass"))
+        )
+
     return {
         "wordcount": wc,
         "minhash_lsh": lsh,
@@ -167,6 +191,7 @@ def pipelines():
         "chunk_fingerprints": chunks,
         "pack_sequences": pack,
         "bm25_topk": bm25,
+        "heavyhitters": heavyhitters,
     }
 
 

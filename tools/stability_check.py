@@ -53,12 +53,19 @@ def run_all(names, cpus: int, shuffle: int) -> dict[str, str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true")
+    ap.add_argument("names", nargs="*", help="specific query names to sweep")
     args = ap.parse_args()
 
     import __spark_entry__ as em
 
     names = list(em.queries())
-    if not args.all:
+    if args.names:
+        unknown = set(args.names) - set(names)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}")
+            return 2
+        names = args.names
+    elif not args.all:
         names = names[:50]
 
     # deliberately mismatched cpu/shuffle counts, and a prime, so any

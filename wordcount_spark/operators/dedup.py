@@ -190,16 +190,13 @@ def minhash_signatures_arr(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, rows: int = 4, hash_mode: str = "xxhash64"
+def lsh_banded_index(
+    signatures: DataFrame, bands: int, rows: int, hash_mode: str = "xxhash64"
 ) -> DataFrame:
-    """Band the signature (bands × rows), bucket-join on (band, band-hash).
-
-    Pairs agreeing on ALL rows of ≥1 band collide. For J=jaccard, collision
-    prob = 1-(1-J^rows)^bands — the standard S-curve (16 bands × 4 rows
-    centers ~0.6-0.7). hash_mode='md5' buckets by md5 of the joined slice
-    (portable to the SQL oracle); 'xxhash64' uses the cheap murmur hash.
-    """
+    """(id, band, bucket) banded index rows, CACHED — this is the frame a
+    production LSH pipeline materializes as its standing index table.
+    hash_mode='md5' buckets by md5 of the joined slice (portable to the
+    SQL oracle); 'xxhash64' uses the cheap murmur hash."""
 
     def bucket_of(bnd: int) -> Column:
         sl = F.slice("signature", bnd * rows + 1, rows)
@@ -207,15 +204,27 @@ def lsh_candidate_pairs(
             return F.md5(F.array_join(F.transform(sl, lambda v: v.cast("string")), ","))
         return F.hash(sl).cast("string")
 
-    banded = signatures.select(
+    return signatures.select(
         "id",
         F.posexplode(F.array(*[bucket_of(bnd) for bnd in range(bands)])).alias(
             "band", "bucket"
         ),
-    ).cache()  # self-joined below: without the pin the whole shingle →
-    # minhash lineage executes once per join side (no cross-branch
-    # exchange reuse). ids × bands rows — the banded index production LSH
-    # materializes anyway (MEMORY_AND_DISK, spills instead of OOM)
+    ).cache()  # self-joined by every caller: without the pin the whole
+    # shingle → minhash lineage executes once per join side (no
+    # cross-branch exchange reuse). ids × bands rows — production LSH
+    # materializes this anyway (MEMORY_AND_DISK, spills instead of OOM)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows: int = 4, hash_mode: str = "xxhash64"
+) -> DataFrame:
+    """Band the signature (bands × rows), bucket-join on (band, band-hash).
+
+    Pairs agreeing on ALL rows of ≥1 band collide. For J=jaccard, collision
+    prob = 1-(1-J^rows)^bands — the standard S-curve (16 bands × 4 rows
+    centers ~0.6-0.7).
+    """
+    banded = lsh_banded_index(signatures, bands, rows, hash_mode)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -226,6 +235,38 @@ def lsh_candidate_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
+        .distinct()
+    )
+
+
+def lsh_incremental_pairs(
+    signatures: DataFrame,
+    new_pred: Column,
+    bands: int = 16,
+    rows: int = 4,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Delta-batch LSH: probe side = banded rows of the NEW documents only
+    (``new_pred`` over ``id``), build side = the full banded index. Every
+    returned pair has ≥1 new member — old×old pairs never meet in the
+    join, so a daily batch costs O(|Δ|·bands) probe rows against the
+    standing index instead of re-pairing the whole corpus. Pair order is
+    normalized (least, greatest) because a new-new pair meets twice.
+    """
+    banded = lsh_banded_index(signatures, bands, rows, hash_mode)
+    probe = banded.filter(new_pred).alias("a")
+    b = banded.alias("b")
+    return (
+        probe.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least("a.id", "b.id").alias("ida"),
+            F.greatest("a.id", "b.id").alias("idb"),
+        )
         .distinct()
     )
 

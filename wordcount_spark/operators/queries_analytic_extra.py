@@ -216,3 +216,58 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+@register(
+    "agg_median_twopass",
+    """
+    SELECT CAST(v AS DOUBLE) AS median_price FROM (
+      SELECT o_totalprice AS v,
+             row_number() OVER (ORDER BY o_totalprice) AS rn,
+             count(*) OVER () AS n
+      FROM orders
+    ) WHERE rn = (n + 1) // 2
+    """,
+    eager=True,
+)
+def agg_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median (lower median, the ((n+1) div 2)-th order
+    statistic) by two-pass histogram pruning — the shape that finds an
+    exact order statistic at 100 TB without ever globally sorting:
+    pass 1 is a map-side-combinable bucket-count histogram (floor(price/
+    1000): O(value-range/width) groups, independent of row count); the
+    driver walks the O(buckets) counts to locate the bucket holding the
+    k-th value and its in-bucket rank r; pass 2 touches ONLY that bucket
+    and takes its r smallest (TakeOrdered — r rows through one task,
+    bounded by bucket population; a pathological bucket re-splits with a
+    finer width, same two passes). Bucketing is engine-internal — the
+    oracle never buckets, it computes the same order statistic by direct
+    window rank — so only the final value must agree. EAGER: the
+    histogram walk collects O(buckets) rows while building the plan.
+
+    Scale: full data crosses the wire as O(buckets) partials once; the
+    global sort the naive median needs never happens. Same skeleton
+    extends to any quantile set (one histogram, many (bucket, rank)
+    probes).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    bucket = F.floor(price / 1000).cast("long")
+    hist = sorted(
+        orders.groupBy(bucket.alias("b")).agg(F.count("*").alias("c")).collect(),
+        key=lambda r: r["b"],
+    )
+    n = sum(r["c"] for r in hist)
+    k = (n + 1) // 2
+    cum = 0
+    for r in hist:
+        if cum + r["c"] >= k:
+            b_star, r_in = r["b"], k - cum
+            break
+        cum += r["c"]
+    return (
+        orders.filter(bucket == b_star)
+        .orderBy("o_totalprice")
+        .limit(r_in)
+        .agg(F.max(price).cast("double").alias("median_price"))
+    )

@@ -328,3 +328,56 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "cdc_join_view_delta",
+    """
+    SELECT o.o_orderkey, c.c_custkey, c.c_name,
+           CASE WHEN o.o_orderkey % 20 = 0 AND c.c_custkey % 30 = 0 THEN 'dOdC'
+                WHEN o.o_orderkey % 20 = 0 THEN 'dO'
+                WHEN c.c_custkey % 30 = 0 THEN 'dC'
+                ELSE 'old' END AS via
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o_orderkey
+    """,
+)
+def cdc_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (the classic IVM identity):
+    with base snapshots O, C and change batches ΔO, ΔC, the refreshed
+    view O'⋈C' is computed as  (O⋈C) ∪ (ΔO⋈C) ∪ (O⋈ΔC) ∪ (ΔO⋈ΔC) —
+    never re-joining the full snapshots. The split here is deterministic
+    (orderkey%20 / custkey%30 are the "arrived since last refresh" rows)
+    and each branch tags its provenance, so the oracle — the FULL
+    recompute with the same tags spelled as a CASE — checks both the
+    union-of-joins identity and that every row came through the branch
+    IVM says it must.
+
+    Scale: the three delta branches cost O(|ΔO|+|ΔC|) join work instead
+    of O(|O⋈C|); the delta sides are small by construction, so AQE
+    broadcasts them (no explicit hint — at a refresh where Δ is huge the
+    engine falls back to shuffle joins, which is the right plan there).
+    The base⋈base branch is the standing view — in production it is NOT
+    recomputed (it is the materialized table being maintained); it
+    appears here only so the output equals the full refreshed view.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o_base = orders.filter(F.col("o_orderkey") % 20 != 0)
+    o_delta = orders.filter(F.col("o_orderkey") % 20 == 0)
+    c_base = cust.filter(F.col("c_custkey") % 30 != 0)
+    c_delta = cust.filter(F.col("c_custkey") % 30 == 0)
+
+    def branch(o: DataFrame, c: DataFrame, tag: str) -> DataFrame:
+        return (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .select("o_orderkey", "c_custkey", "c_name", F.lit(tag).alias("via"))
+        )
+
+    return (
+        branch(o_base, c_base, "old")
+        .unionAll(branch(o_delta, c_base, "dO"))
+        .unionAll(branch(o_base, c_delta, "dC"))
+        .unionAll(branch(o_delta, c_delta, "dOdC"))
+        .orderBy("o_orderkey")
+    )

@@ -114,7 +114,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(sh, 0.5).orderBy("ida", "idb")
 
 
-def _minhash_sql(num_hashes: int, bands: int, rows: int, threshold_bands: bool = True) -> str:
+_LSH_FINAL_ALL = """
+    SELECT DISTINCT a.id AS ida, b.id AS idb
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ORDER BY ida, idb
+"""
+
+#: probe side restricted to the delta batch (id % 10 = 0); pair order
+#: normalized because a delta-delta pair meets twice
+_LSH_FINAL_INCREMENTAL = """
+    SELECT DISTINCT least(a.id, b.id) AS ida, greatest(a.id, b.id) AS idb
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id <> b.id
+    WHERE a.id % 10 = 0
+    ORDER BY ida, idb
+"""
+
+
+def _minhash_sql(
+    num_hashes: int, bands: int, rows: int, final: str = _LSH_FINAL_ALL
+) -> str:
     """DuckDB rendering of the md5-mode MinHash+LSH candidate pipeline."""
     params = _affine_params(num_hashes)
     values = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(params))
@@ -134,10 +154,7 @@ def _minhash_sql(num_hashes: int, bands: int, rows: int, threshold_bands: bool =
              md5(array_to_string(sig[band*{rows}+1:band*{rows}+{rows}], ',')) AS bucket
       FROM sig CROSS JOIN (SELECT unnest(range({bands})) AS band)
     )
-    SELECT DISTINCT a.id AS ida, b.id AS idb
-    FROM banded a JOIN banded b
-      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-    ORDER BY ida, idb
+    {final}
     """
 
 
@@ -1031,3 +1048,32 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         m.join(dups, "vec_id", "left_anti").select("vec_id", "cluster").orderBy("vec_id")
     )
+
+
+@register(
+    "dedup_minhash_lsh_incremental",
+    _minhash_sql(32, 8, 4, final=_LSH_FINAL_INCREMENTAL),
+)
+def dedup_minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: the daily-crawl shape. The delta batch
+    (doc_id % 10 = 0 here) probes the standing banded LSH index — every
+    returned pair has ≥1 new member, old×old pairs never meet in the
+    join. Same signature family and S-curve as `dedup_minhash_lsh`; the
+    oracle is the identical pipeline with the probe restriction spelled
+    in SQL.
+
+    Scale: a batch of |Δ| docs costs O(|Δ|·bands) probe rows joined
+    against the bucketed index (shuffle keyed on (band, bucket), delta
+    side tiny → AQE broadcasts it), vs O(|D|·bands) self-join for the
+    full recompute — the only affordable way to keep a 100 TB corpus
+    continuously deduped. In production the index frame is a persisted
+    table (see `lsh_banded_index`); here it is rebuilt so the query is
+    self-contained.
+    """
+    from wordcount_spark.operators.dedup import lsh_incremental_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(doc_shingles(docs), num_hashes=32, hash_mode="md5")
+    return lsh_incremental_pairs(
+        sigs, F.col("id") % 10 == 0, bands=8, rows=4, hash_mode="md5"
+    ).orderBy("ida", "idb")
