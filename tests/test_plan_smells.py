@@ -57,6 +57,10 @@ BNLJ_OK = {
     "dedup_semantic_semdedup",
     # 1-row token-total fan-out onto the O(candidates) count frame
     "text_heavyhitters_twopass",
+    # dense-grid spine cross join (same shape as events_resample_ffill)
+    "events_resample_interpolate",
+    # 1-row n_docs scalar fanned onto the O(docs)/O(vocab) decile maps
+    "text_heaps_law_curve",
 }
 
 # streaming / iterative queries execute eagerly inside the callable —
@@ -87,6 +91,8 @@ GLOBAL_WINDOW_OK: set[str] = {
     "mix_token_budget_waterfill",
     # reverse-cumulative pair count over the 10-row decile histogram
     "dedup_threshold_sweep",
+    # two running sums over the 10-row decile frame
+    "text_heaps_law_curve",
 }
 
 

@@ -271,3 +271,67 @@ def agg_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(r_in)
         .agg(F.max(price).cast("double").alias("median_price"))
     )
+
+
+@register(
+    "agg_quantiles_exact_multi",
+    """
+    WITH ranked AS (
+      SELECT o_totalprice AS v,
+             row_number() OVER (ORDER BY o_totalprice) AS rn,
+             count(*) OVER () AS n
+      FROM orders
+    )
+    SELECT pct.p AS pct, CAST(r.v AS DOUBLE) AS value
+    FROM ranked r
+    JOIN (VALUES (25), (50), (75), (90), (99)) AS pct(p)
+      ON r.rn = greatest(1, (pct.p * r.n) // 100)
+    ORDER BY pct
+    """,
+    eager=True,
+)
+def agg_quantiles_exact_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantile SET (p25/p50/p75/p90/p99, lower order statistics
+    k=max(1, floor(p·n/100))) from ONE shared histogram — the multi-probe
+    extension of `agg_median_twopass`: pass 1 builds a single map-side-
+    combinable bucket histogram (floor(price/1000)); the driver walks the
+    O(buckets) counts once per quantile to find (bucket, in-bucket rank);
+    pass 2 is a union of per-quantile probes, each touching ONLY its
+    bucket and taking its r smallest rows. All rank math is integer on
+    both engines (greatest/floor-div), so the probed value is exact. The
+    oracle finds the same order statistics by direct window rank, never
+    bucketing — only the final values must agree. EAGER: the histogram
+    walk collects O(buckets) rows at plan-build time.
+
+    Scale: one full-data pass emits O(buckets) partials; k probes each
+    scan one partition-pruned bucket (at 100 TB: histogram on a column
+    with min/max zone maps prunes the probe scan to matching row groups).
+    A quantile set of any size reuses the single histogram."""
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    bucket = F.floor(price / 1000).cast("long")
+    hist = sorted(
+        orders.groupBy(bucket.alias("b")).agg(F.count("*").alias("c")).collect(),
+        key=lambda r: r["b"],
+    )
+    n = sum(r["c"] for r in hist)
+    probes: list[DataFrame] = []
+    for p in (25, 50, 75, 90, 99):
+        k = max(1, (p * n) // 100)
+        cum = 0
+        for r in hist:
+            if cum + r["c"] >= k:
+                b_star, r_in = r["b"], k - cum
+                break
+            cum += r["c"]
+        probes.append(
+            orders.filter(bucket == b_star)
+            .orderBy("o_totalprice")
+            .limit(r_in)
+            .agg(F.max(price).cast("double").alias("value"))
+            .select(F.lit(p).alias("pct"), "value")
+        )
+    out = probes[0]
+    for frame in probes[1:]:
+        out = out.unionByName(frame)
+    return out.orderBy("pct")

@@ -381,3 +381,74 @@ def cdc_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(branch(o_delta, c_delta, "dOdC"))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    """
+    WITH firsts AS (
+      SELECT user_id, event_type, ts FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+        FROM events) t WHERE rn = 1),
+    lasts AS (
+      SELECT user_id, event_type, ts FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t WHERE rn = 1),
+    hist AS (
+      SELECT f.user_id, f.event_type, f.ts AS valid_from,
+             CASE WHEN f.event_type <> l.event_type THEN l.ts END AS valid_to
+      FROM firsts f JOIN lasts l USING (user_id)
+      UNION ALL
+      SELECT l.user_id, l.event_type, l.ts AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM firsts f JOIN lasts l USING (user_id)
+      WHERE f.event_type <> l.event_type
+    )
+    SELECT h.event_type AS version_type,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN hist h
+      ON e.user_id = h.user_id
+     AND e.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join of a fact stream against an SCD2
+    dimension: each event is attributed to the dimension VERSION that was
+    valid at the event's timestamp — ``valid_from <= ts < valid_to`` with
+    an open NULL end — the join every warehouse does to avoid leaking
+    future attribute values into historical facts. The dimension history
+    is the same first-vs-last construction as `cdc_scd2_history` (reused
+    via that query), so this also exercises composing one registered
+    query's output as another's input.
+
+    Scale: equi-join on user_id with the validity range as a residual
+    join filter — versions per key are few (here ≤2), so the range check
+    multiplies nothing; the heavy frame (events) shuffles once on the
+    join key and the aggregate is map-side combinable. Never a range-only
+    join, never a BNLJ."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = cdc_scd2_history(spark, sf_dir).select(
+        F.col("user_id").alias("h_user"),
+        F.col("event_type").alias("version_type"),
+        "valid_from",
+        "valid_to",
+    )
+    return (
+        ev.join(
+            hist,
+            (F.col("user_id") == F.col("h_user"))
+            & (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        )
+        .groupBy("version_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("version_type")
+    )

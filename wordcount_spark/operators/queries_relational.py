@@ -1430,3 +1430,95 @@ def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "join_skew_salted",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join — the manual skew-mitigation pattern for when one key
+    holds a disproportionate share of the big side and AQE's skew-join
+    split can't help (e.g. a single logical key that exceeds every split
+    threshold). The big side (orders) gets a salt in [0, S) derived from a
+    NON-join column (o_orderkey % S — deterministic, no rand(), so the
+    oracle is exact); the dim side is replicated S times via an exploded
+    literal array; the join key becomes (custkey, salt), spreading each
+    hot key over S reducers. The oracle is the PLAIN join — salting must
+    be a pure physical rewrite with identical semantics.
+
+    Scale: dim replication costs S× the SMALL side only (here 8 × O(customers)
+    rows, still broadcast-eligible; at 100 TB the replicated dim shuffles
+    like any dim). The aggregate after the join is key-local partial agg,
+    so the salt never reaches the output. S trades skew-spread against dim
+    blowup; 8 suffices to break a 8×-median hot key."""
+    SALT = 8
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "__salt", (F.col("o_orderkey") % SALT).cast("int")
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("__salt", F.explode(F.array(*[F.lit(s) for s in range(SALT)])))
+    )
+    return (
+        o.join(
+            c,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (o["__salt"] == c["__salt"]),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "dq_k_anonymity",
+    """
+    WITH q AS (
+      SELECT c_nationkey,
+             c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+             count(*) AS group_size
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment, acctbal_band, group_size
+    FROM q WHERE group_size < 5
+    ORDER BY c_nationkey, c_mktsegment, acctbal_band
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple (nation, market
+    segment, coarse account-balance band): every QI combination held by
+    fewer than k=5 individuals is a re-identification risk and is
+    surfaced for suppression/generalization before the table is released
+    as training data. The band uses floor() (repo threshold rule — engine
+    half-rounding never enters).
+
+    Scale: one map-side-combinable groupBy on the QI tuple (O(distinct
+    QI) partials), then a filter on the counts — the audit never sees row
+    payloads and ships only group cardinalities. Widening the QI set only
+    grows the group count, not the shuffle width."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("acctbal_band"),
+        )
+        .agg(F.count("*").alias("group_size"))
+        .where(F.col("group_size") < 5)
+        .orderBy("c_nationkey", "c_mktsegment", "acctbal_band")
+    )

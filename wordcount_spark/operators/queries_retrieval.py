@@ -295,3 +295,61 @@ def _register_hybrid():
 
 
 _register_hybrid()
+
+
+@register(
+    "retrieval_inverted_index",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_LOWER_SQL}) AS term FROM documents
+    ),
+    postings AS (
+      SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id
+    )
+    SELECT term,
+           count(*) AS df,
+           CAST(sum(tf) AS BIGINT) AS cf,
+           array_to_string(list(doc_id ORDER BY doc_id)[1:20], ',') AS posting_head
+    FROM postings
+    GROUP BY term
+    HAVING count(*) >= 50
+    ORDER BY term
+    """,
+)
+def retrieval_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index BUILD: term → (document frequency, collection
+    frequency, doc_id-sorted posting list) — the index side of the BM25
+    stack, emitted as a queryable table. Posting lists are materialized
+    with ``sort_array(collect_list(...))`` per term; the output keeps the
+    first 20 doc_ids as a comma string (array outputs stringify
+    differently per engine; the head is what a hash check can pin) and
+    only terms with df ≥ 50 (the segment-worthy vocabulary).
+
+    Scale: (term, doc) tf pairs come from one map-side-combinable
+    aggregate of the token explode; the per-term collect_list is the real
+    index build a search engine does — posting size is bounded by df, and
+    a pathological stopword term (df ≈ corpus size) is exactly the term a
+    production index drops via the df ceiling / stopword list; the df
+    floor here is the same guardrail in the other direction. No driver
+    collect; the index is a DataFrame you write out partitioned by term
+    prefix."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("term"),
+    )
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    return (
+        postings.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20), ","
+            ).alias("posting_head"),
+        )
+        .where(F.col("df") >= 50)
+        .orderBy("term")
+    )

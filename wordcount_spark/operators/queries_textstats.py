@@ -1602,3 +1602,150 @@ def text_heavyhitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", "cnt")
         .orderBy(F.desc("cnt"), "tok")
     )
+
+
+@register(
+    "text_skipgram_pairs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+             '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+      FROM t
+    )
+    SELECT a.tok AS center, b.tok AS context, count(*) AS n
+    FROM e a JOIN e b
+      ON a.doc_id = b.doc_id AND (b.pos - a.pos) IN (-2, -1, 1, 2)
+    GROUP BY 1, 2
+    ORDER BY n DESC, center, context
+    LIMIT 200
+    """,
+)
+def text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair extraction with a ±2 window — the
+    training-pair generator for word2vec-style embedding pretraining. The
+    Spark side turns the window condition into an EQUI-join: each token
+    row explodes into 4 (doc_id, pos+offset) probes joined back to the
+    position table on (doc_id, pos) — hash-partitionable, no range join,
+    no per-doc quadratic blowup (the oracle states the same window as a
+    non-equi position join, which DuckDB can afford at oracle scale).
+    Top-200 by count with (center, context) tiebreak keeps the output
+    deterministic.
+
+    Scale: the offset explode is 4× the token stream, shuffled once on
+    (doc_id, pos) — the same cost class as the tokenize itself; the pair
+    aggregate is map-side combinable. Window radius w costs 2w probes per
+    token, linear not quadratic. The top-k is a WindowGroupLimit-free
+    global sort-limit on the O(distinct pairs) aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs2 = load_table(spark, sf_dir, "documents")
+
+    def positions(d: DataFrame) -> DataFrame:
+        return d.select(
+            "doc_id", F.posexplode(_toks(F.lower("text"))).alias("pos", "tok")
+        )
+
+    centers = positions(docs).select(
+        "doc_id",
+        F.col("tok").alias("center"),
+        F.explode(F.array(*[F.lit(o) for o in (-2, -1, 1, 2)])).alias("off"),
+        "pos",
+    ).select("doc_id", "center", (F.col("pos") + F.col("off")).alias("tpos"))
+    contexts = positions(docs2).select(
+        "doc_id", F.col("pos").alias("tpos"), F.col("tok").alias("context")
+    )
+    return (
+        centers.join(contexts, ["doc_id", "tpos"])
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "center", "context")
+        .limit(200)
+    )
+
+
+@register(
+    "text_heaps_law_curve",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+             '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    nmax AS (SELECT max(doc_id) + 1 AS n_docs FROM t),
+    per_doc AS (
+      SELECT doc_id, least(9, (doc_id * 10) // n_docs) AS decile,
+             len(toks) AS n_tokens
+      FROM t, nmax
+    ),
+    e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    first_seen AS (
+      SELECT tok, min(doc_id) AS first_doc FROM e GROUP BY tok
+    ),
+    vocab_per_decile AS (
+      SELECT least(9, (first_doc * 10) // n_docs) AS decile,
+             count(*) AS new_vocab
+      FROM first_seen, nmax GROUP BY 1
+    ),
+    toks_per_decile AS (
+      SELECT decile, CAST(sum(n_tokens) AS BIGINT) AS d_tokens
+      FROM per_doc GROUP BY decile
+    )
+    SELECT t.decile,
+           CAST(sum(t.d_tokens) OVER (ORDER BY t.decile) AS BIGINT) AS cum_tokens,
+           CAST(sum(coalesce(v.new_vocab, 0)) OVER (ORDER BY t.decile) AS BIGINT)
+             AS cum_vocab
+    FROM toks_per_decile t LEFT JOIN vocab_per_decile v USING (decile)
+    ORDER BY decile
+    """,
+)
+def text_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: cumulative distinct-token
+    count vs cumulative token count at 10 corpus checkpoints, reading the
+    corpus in doc_id order. The classic dedup/quality diagnostic — a
+    corpus whose vocab curve flattens early is repetitive or templated.
+    Checkpoints are integer deciles of the dense doc_id space
+    ((doc_id·10) div n_docs), so NO global window ever touches a
+    row-scale frame: each token's first occurrence is a groupBy(token)
+    min, per-decile sums are map-side combinable, and the only windows
+    (the two running sums) run over the 10-row decile frame.
+
+    Scale: two corpus-wide aggregates (token→min(doc_id), per-decile
+    token sums) + a 10-row cumulative — the vocabulary table is the big
+    intermediate (O(vocab)), exactly what the BPE/heavy-hitter queries
+    already materialize. First-occurrence at doc granularity is the
+    standard formulation (within-doc order adds nothing at corpus
+    scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _toks(F.lower("text")).alias("toks"))
+    nmax = t.agg((F.max("doc_id") + 1).alias("n_docs"))
+    per_doc = t.crossJoin(F.broadcast(nmax)).select(
+        F.least(F.lit(9), F.expr("doc_id * 10 div n_docs")).alias("decile"),
+        F.size("toks").alias("n_tokens"),
+    )
+    e = t.select("doc_id", F.explode("toks").alias("tok"))
+    first_seen = e.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    vocab_per_decile = (
+        first_seen.crossJoin(F.broadcast(nmax))
+        .groupBy(
+            F.least(F.lit(9), F.expr("first_doc * 10 div n_docs")).alias("decile")
+        )
+        .agg(F.count("*").alias("new_vocab"))
+    )
+    toks_per_decile = per_doc.groupBy("decile").agg(
+        F.sum("n_tokens").alias("d_tokens")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        toks_per_decile.join(vocab_per_decile, "decile", "left")
+        .select(
+            "decile",
+            F.sum("d_tokens").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("new_vocab", F.lit(0))).over(w).alias("cum_vocab"),
+        )
+        .orderBy("decile")
+    )

@@ -396,3 +396,120 @@ def events_lateness_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("lateness_bucket")
     )
+
+
+@register(
+    "events_resample_interpolate",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
+             max_by(value, event_id) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT s.bucket_hour, t.event_type
+      FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_hour
+            FROM span) s
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    ),
+    neighbors AS (
+      SELECT bucket_hour, event_type, obs,
+             CAST(epoch(bucket_hour) AS BIGINT) // 3600 AS h,
+             last_value(obs IGNORE NULLS) OVER w_back AS v0,
+             last_value(CASE WHEN obs IS NOT NULL
+                             THEN CAST(epoch(bucket_hour) AS BIGINT) // 3600 END
+                        IGNORE NULLS) OVER w_back AS h0,
+             first_value(obs IGNORE NULLS) OVER w_fwd AS v1,
+             first_value(CASE WHEN obs IS NOT NULL
+                              THEN CAST(epoch(bucket_hour) AS BIGINT) // 3600 END
+                         IGNORE NULLS) OVER w_fwd AS h1
+      FROM grid LEFT JOIN hourly USING (bucket_hour, event_type)
+      WINDOW
+        w_back AS (PARTITION BY event_type ORDER BY bucket_hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_fwd AS (PARTITION BY event_type ORDER BY bucket_hour
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT bucket_hour, event_type,
+           CASE WHEN obs IS NOT NULL THEN obs
+                WHEN v0 IS NOT NULL AND v1 IS NOT NULL
+                THEN v0 + (v1 - v0) * (CAST(h - h0 AS DOUBLE) / (h1 - h0))
+           END AS interp_value,
+           (obs IS NULL) AS was_gap
+    FROM neighbors
+    ORDER BY bucket_hour, event_type
+    """,
+)
+def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resample: the dense hourly grid per event
+    type, gap cells filled by interpolating between the NEAREST observed
+    neighbors on each side — the standard time-series imputation one step
+    up from LOCF (`events_resample_ffill`). Edge cells with only one
+    neighbor stay NULL (no extrapolation). Engine parity: the lerp is the
+    single fixed expression ``v0 + (v1-v0) * ((h-h0)/(h1-h0))`` on both
+    sides — hour indexes are exact integers, each IEEE op is
+    deterministic, so the doubles agree bitwise with no rounding.
+
+    Scale: both neighbor searches are IGNORE NULLS frame windows over the
+    POST-aggregation grid (buckets × types), partitioned by type — raw
+    events are touched once by the hourly aggregate. Same cost profile as
+    LOCF: one shuffle on event_type for the window, one for the grid
+    join."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_hour"), "event_type"
+    ).agg(F.max_by("value", "event_id").alias("obs"))
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "bucket_hour"
+        )
+    )
+    grid = spine.crossJoin(ev.select("event_type").distinct()).join(
+        hourly, ["bucket_hour", "event_type"], "left"
+    )
+    from pyspark.sql import Window
+
+    h = F.expr("unix_timestamp(bucket_hour) div 3600")
+    h_obs = F.when(F.col("obs").isNotNull(), h)
+    w_back = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    n = grid.select(
+        "bucket_hour",
+        "event_type",
+        "obs",
+        h.alias("h"),
+        F.last("obs", ignorenulls=True).over(w_back).alias("v0"),
+        F.last(h_obs, ignorenulls=True).over(w_back).alias("h0"),
+        F.first("obs", ignorenulls=True).over(w_fwd).alias("v1"),
+        F.first(h_obs, ignorenulls=True).over(w_fwd).alias("h1"),
+    )
+    lerp = F.col("v0") + (F.col("v1") - F.col("v0")) * (
+        (F.col("h") - F.col("h0")).cast("double") / (F.col("h1") - F.col("h0"))
+    )
+    return (
+        n.select(
+            "bucket_hour",
+            "event_type",
+            F.when(F.col("obs").isNotNull(), F.col("obs"))
+            .when(F.col("v0").isNotNull() & F.col("v1").isNotNull(), lerp)
+            .alias("interp_value"),
+            F.col("obs").isNull().alias("was_gap"),
+        )
+        .orderBy("bucket_hour", "event_type")
+    )
