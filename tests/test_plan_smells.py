@@ -93,6 +93,12 @@ GLOBAL_WINDOW_OK: set[str] = {
     "dedup_threshold_sweep",
     # two running sums over the 10-row decile frame
     "text_heaps_law_curve",
+    # running sum over the O(days) calendar frame (cum-unique identity)
+    "window_cumulative_distinct",
+    # lag(12) over the O(months) calendar frame
+    "window_yoy_growth",
+    # rank window over the top-1000 sort-limited vocabulary frame
+    "text_zipf_fit",
 }
 
 

@@ -586,3 +586,44 @@ def decode_bmp_features(bmp_df: DataFrame) -> DataFrame:
         schema="doc_id long, width long, height long, n_pixels long, "
         "sum_r long, sum_g long, sum_b long, max_rgb long",
     )
+
+
+def decimate_wav_features(wav_df: DataFrame, factor: int) -> DataFrame:
+    """REAL DSP step after the REAL decode: parse the RIFF/WAVE payload
+    (same validation as ``decode_wav_features``), decimate the PCM16
+    stream by ``factor`` (keep samples 0, factor, 2·factor, …), and emit
+    integer-exact features of the decimated stream plus its effective
+    sample rate. Integer decimation — no resampling filter — so the
+    oracle can state the kept-index formula exactly."""
+    import struct
+
+    import numpy as np
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "out_rate", "n_out",
+                                   "sum_abs", "sum_sq", "first_val", "last_val")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:4] != b"RIFF" or buf[8:16] != b"WAVEfmt ":
+                    raise ValueError("not a RIFF/WAVE payload")
+                rate = struct.unpack("<I", buf[24:28])[0]
+                (data_len,) = struct.unpack("<I", buf[40:44])
+                samples = np.frombuffer(buf[44 : 44 + data_len], dtype="<i2").astype(
+                    np.int64
+                )
+                kept = samples[::factor]
+                out["doc_id"].append(doc_id)
+                out["out_rate"].append(rate // factor)
+                out["n_out"].append(len(kept))
+                out["sum_abs"].append(int(np.abs(kept).sum()))
+                out["sum_sq"].append(int((kept * kept).sum()))
+                out["first_val"].append(int(kept[0]))
+                out["last_val"].append(int(kept[-1]))
+            yield pd.DataFrame(out)
+
+    return wav_df.mapInPandas(
+        dec,
+        schema="doc_id long, out_rate long, n_out long, "
+        "sum_abs long, sum_sq long, first_val long, last_val long",
+    )

@@ -406,3 +406,47 @@ def multimodal_decode_image_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_bmp_features(synth_bmp_payload(docs)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_audio_decimate",
+    """
+    WITH n AS (
+      SELECT doc_id, 256 + doc_id % 256 AS n_samples FROM documents
+    ),
+    k AS (
+      SELECT doc_id, n_samples, (n_samples + 3) // 4 AS n_out,
+             list_transform(range((n_samples + 3) // 4),
+                            i -> ((doc_id * 31 + (i * 4) * 17) % 4096) - 2048)
+               AS kept
+      FROM n
+    )
+    SELECT doc_id,
+           CAST(4000 AS BIGINT) AS out_rate,
+           n_out,
+           CAST(list_sum(list_transform(kept, x -> abs(x))) AS BIGINT) AS sum_abs,
+           CAST(list_sum(list_transform(kept, x -> x * x)) AS BIGINT) AS sum_sq,
+           kept[1] AS first_val,
+           kept[n_out] AS last_val
+    FROM k ORDER BY doc_id
+    """,
+)
+def multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → DSP: decimate each PCM16 stream by 4 (keep every 4th
+    sample, no filter) and emit integer-exact features of the decimated
+    stream plus the effective 4 kHz rate — the frame-rate/sample-rate
+    reduction step a multimodal pipeline runs before feature extraction.
+    The oracle states the kept-index formula (sample (doc·31 + 4i·17)
+    mod 4096 − 2048) directly, so header parse → byte slice → stride are
+    all checked; DuckDB lists being 1-based is why the oracle indexes
+    kept[1]/kept[n_out].
+
+    Scale: the same narrow mapInPandas shape as the decode queries — one
+    pass over the payload column, no shuffle, output 7 ints per doc."""
+    from wordcount_spark.operators.multimodal import (
+        decimate_wav_features,
+        synth_wav_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decimate_wav_features(synth_wav_payload(docs), 4).orderBy("doc_id")

@@ -1749,3 +1749,77 @@ def text_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "text_zipf_fit",
+    f"""
+    WITH freq AS (
+      SELECT tok, count(*) AS f
+      FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                   '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, f FROM freq ORDER BY f DESC, tok LIMIT 1000
+    ),
+    pts AS (
+      SELECT CAST(round(ln(row_number() OVER (ORDER BY f DESC, tok)), 4)
+                  AS DECIMAL(18,4)) AS x,
+             CAST(round(ln(f), 4) AS DECIMAL(18,4)) AS y
+      FROM top
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy, CAST(sum(x * x) AS DOUBLE) AS sxx
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope
+    FROM sums
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of ln(frequency) against ln(rank) over
+    the top-1000 vocabulary — natural text sits near −1; a corpus that
+    deviates hard is templated, spammy, or deduplicated wrong (the
+    companion diagnostic to `text_heaps_law_curve`). Engine parity: each
+    ln is rounded to 4dp (repo ln rule — irrational values never sit on
+    the round lattice) and fixed as DECIMAL(18,4); the moment sums
+    Σx, Σy, Σxy, Σx² are EXACT decimal arithmetic, so the only float ops
+    are the final slope expression, written in the identical order on
+    both sides.
+
+    Scale: the frequency table is the wordcount aggregate (map-side
+    combinable); top-1000 is a sort-limit (per-partition TakeOrdered,
+    never a full sort); the rank window runs over the 1000-row frame
+    only. The regression itself is one tiny aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(_toks(F.lower("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+    top = freq.orderBy(F.desc("f"), "tok").limit(1000)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("f"), "tok")
+    pts = top.select(
+        F.round(F.log(F.row_number().over(w)), 4).cast("decimal(18,4)").alias("x"),
+        F.round(F.log("f"), 4).cast("decimal(18,4)").alias("y"),
+    )
+    sums = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_terms"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("zipf_slope"),
+    )

@@ -513,3 +513,80 @@ def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_hour", "event_type")
     )
+
+
+@register(
+    "events_ewma_fixedpoint",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_hour,
+             CAST(floor(max_by(value, event_id) * 1000000) AS BIGINT) AS micro
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, bucket_hour,
+             coalesce(lag(micro, 0) OVER w * 64, 0)
+           + coalesce(lag(micro, 1) OVER w * 32, 0)
+           + coalesce(lag(micro, 2) OVER w * 16, 0)
+           + coalesce(lag(micro, 3) OVER w * 8, 0)
+           + coalesce(lag(micro, 4) OVER w * 4, 0)
+           + coalesce(lag(micro, 5) OVER w * 2, 0)
+           + coalesce(lag(micro, 6) OVER w * 1, 0) AS num,
+             (CASE WHEN lag(micro, 0) OVER w IS NOT NULL THEN 64 ELSE 0 END)
+           + (CASE WHEN lag(micro, 1) OVER w IS NOT NULL THEN 32 ELSE 0 END)
+           + (CASE WHEN lag(micro, 2) OVER w IS NOT NULL THEN 16 ELSE 0 END)
+           + (CASE WHEN lag(micro, 3) OVER w IS NOT NULL THEN 8 ELSE 0 END)
+           + (CASE WHEN lag(micro, 4) OVER w IS NOT NULL THEN 4 ELSE 0 END)
+           + (CASE WHEN lag(micro, 5) OVER w IS NOT NULL THEN 2 ELSE 0 END)
+           + (CASE WHEN lag(micro, 6) OVER w IS NOT NULL THEN 1 ELSE 0 END) AS den
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_hour)
+    )
+    SELECT event_type, bucket_hour,
+           CAST(num AS DOUBLE) / den / 1000000.0 AS ewma
+    FROM lagged
+    ORDER BY event_type, bucket_hour
+    """,
+)
+def events_ewma_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α=1/2, 7-tap) per event
+    type over the hourly series — smoothing for monitoring/anomaly
+    baselines. EWMA is order-recursive, which floats make
+    engine-divergent (windowed double sums associate differently per
+    engine), so the kernel is FIXED-POINT: observations truncate to
+    integer micro-units (floor ×1e6 — repo threshold rule), the 7
+    power-of-two weights (64…1) make numerator and denominator exact
+    BIGINTs, and the one double division at the end is engine-exact.
+    Warm-up rows renormalize over the taps actually present.
+
+    Scale: the raw stream collapses to the (type × hour) aggregate
+    first; the lag chain is one window over that frame, partitioned by
+    type — 7 taps cost 7 lags in a single window pass, no self-joins."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_hour")
+    ).agg(
+        F.floor(F.max_by("value", "event_id") * 1000000)
+        .cast("long")
+        .alias("micro")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("bucket_hour")
+    num = None
+    den = None
+    for k in range(7):
+        wgt = 1 << (6 - k)
+        tap = F.lag("micro", k).over(w)
+        n_k = F.coalesce(tap * wgt, F.lit(0))
+        d_k = F.when(tap.isNotNull(), F.lit(wgt)).otherwise(F.lit(0))
+        num = n_k if num is None else num + n_k
+        den = d_k if den is None else den + d_k
+    return (
+        hourly.select(
+            "event_type",
+            "bucket_hour",
+            (num.cast("double") / den / F.lit(1000000.0)).alias("ewma"),
+        )
+        .orderBy("event_type", "bucket_hour")
+    )

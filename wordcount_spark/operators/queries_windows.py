@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wordcount_spark.operators.relational import dec
+from wordcount_spark.operators.relational import dbl, dec
 from wordcount_spark.registry import register
 from wordcount_spark.sources.readers import load_table
 
@@ -487,3 +487,107 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_trailing_1h"),
         F.sum(dec("value")).over(w).cast("double").alias("sum_trailing_1h"),
     ).orderBy("event_id")
+
+
+@register(
+    "window_cumulative_distinct",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    dau AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             count(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1
+    ),
+    news AS (
+      SELECT first_day AS day, count(*) AS new_users FROM firsts GROUP BY 1
+    )
+    SELECT d.day, d.dau,
+           CAST(sum(coalesce(n.new_users, 0)) OVER (ORDER BY d.day) AS BIGINT)
+             AS cum_unique_users
+    FROM dau d LEFT JOIN news n USING (day)
+    ORDER BY day
+    """,
+)
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative COUNT(DISTINCT) over time — daily active users plus the
+    running total of DISTINCT users ever seen, the growth-dashboard
+    staple that naive SQL can only state as an unbounded distinct window
+    (quadratic state). The scalable identity: a user contributes to the
+    cumulative curve exactly once, on their FIRST day — so cum_unique(d)
+    = Σ_{d'<=d} new_users(d'), where new_users comes from a groupBy(user)
+    min. No distinct window, no re-counting.
+
+    Scale: one user-keyed aggregate (first day per user), one day-keyed
+    DISTINCT aggregate (DAU — Spark plans it as the two-phase Expand),
+    then a running sum over the O(days) frame (the only global window;
+    days is calendar-bounded, not data-bounded)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("day"))
+    news = firsts.groupBy("day").agg(F.count("*").alias("new_users"))
+    dau = ev.groupBy(day.alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dau.join(news, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.sum(F.coalesce("new_users", F.lit(0))).over(w).alias(
+                "cum_unique_users"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "window_yoy_growth",
+    """
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue, n_orders,
+           revenue / lag(revenue, 12) OVER (ORDER BY month) AS yoy_ratio
+    FROM monthly
+    ORDER BY month
+    """,
+)
+def window_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth: monthly revenue joined to itself 12 months
+    back via ``lag(12)`` — the BI comparison every revenue dashboard
+    computes. Months with no prior-year counterpart emit NULL. The ratio
+    is ONE double division of two exact-decimal-summed values, so it is
+    engine-exact with no rounding (repo single-op rule).
+
+    Scale: the month aggregate is map-side combinable and collapses the
+    fact table to an O(months) frame; the lag window runs over that
+    calendar-bounded frame only (the one global window, allowlisted)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        dbl(F.sum(dec("o_totalprice"))).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("month")
+    return (
+        monthly.select(
+            "month",
+            "revenue",
+            "n_orders",
+            (F.col("revenue") / F.lag("revenue", 12).over(w)).alias("yoy_ratio"),
+        )
+        .orderBy("month")
+    )
