@@ -57,6 +57,8 @@ BNLJ_OK = {
     "dedup_semantic_semdedup",
     # 1-row token-total fan-out onto the O(candidates) count frame
     "text_heavyhitters_twopass",
+    # three 1-row count frames stitched by cross joins (recall audit)
+    "eval_lsh_candidate_recall",
     # dense-grid spine cross join (same shape as events_resample_ffill)
     "events_resample_interpolate",
     # 1-row n_docs scalar fanned onto the O(docs)/O(vocab) decile maps

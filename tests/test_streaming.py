@@ -375,3 +375,29 @@ def test_streaming_doc_quality_dedup_equals_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_lsh_incremental_invariant_to_batch_slicing(spark, sf_dir, tmp_path):
+    """The streaming LSH index maintenance must accumulate the SAME pair
+    set whether documents arrive as one batch or as 4 arbitrary slices —
+    each pair surfaces exactly when its later member arrives — and that
+    set must equal the full-batch LSH candidate pairs."""
+    from wordcount_spark.operators.dedup import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from wordcount_spark.sources.readers import load_table
+    from wordcount_spark.streaming.streams import streaming_lsh_index_maintenance
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "sliced")
+    docs.repartition(4).write.parquet(src)
+
+    sliced = streaming_lsh_index_maintenance(spark, src, path_glob="part-*.parquet")
+    got = sorted(map(tuple, sliced.collect()))
+
+    sigs = minhash_signatures(doc_shingles(docs), num_hashes=32, hash_mode="md5")
+    batch = lsh_candidate_pairs(sigs, bands=8, rows=4, hash_mode="md5")
+    want = sorted(map(tuple, batch.select("ida", "idb").collect()))
+    assert got == want

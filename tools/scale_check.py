@@ -184,6 +184,35 @@ def pipelines():
             .agg(F.count("*").alias("n_hh"), F.sum("cnt").alias("hh_mass"))
         )
 
+    def skipgram(df):
+        # text_skipgram_pairs shape: shuffle-free pair generation (token
+        # array zipped against its own 1- and 2-shifts, both directions
+        # emitted), then the one map-side-combinable pair aggregate —
+        # growth should track the scan (the first-cut positions
+        # self-join measured 8.3x here; this form ~2x)
+        toks = df.select(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit("")).alias("t")
+        )
+
+        def shifted(d):
+            return F.arrays_zip(
+                F.slice("t", 1, F.greatest(F.size("t") - d, F.lit(0))),
+                F.expr(f"slice(t, {d + 1}, greatest(size(t) - {d}, 0))"),
+            )
+
+        fwd = toks.select(
+            F.explode(F.concat(shifted(1), shifted(2))).alias("p")
+        ).select(F.col("p")["0"].alias("a"), F.col("p")["1"].alias("b"))
+        both = fwd.select(F.col("a").alias("center"), F.col("b").alias("context")).unionAll(
+            fwd.select(F.col("b").alias("center"), F.col("a").alias("context"))
+        )
+        return (
+            both.groupBy("center", "context")
+            .agg(F.count("*").alias("n"))
+            .groupBy()
+            .agg(F.count("*").alias("n_pairs"), F.sum("n").alias("total"))
+        )
+
     return {
         "wordcount": wc,
         "minhash_lsh": lsh,
@@ -192,6 +221,7 @@ def pipelines():
         "pack_sequences": pack,
         "bm25_topk": bm25,
         "heavyhitters": heavyhitters,
+        "skipgram": skipgram,
     }
 
 

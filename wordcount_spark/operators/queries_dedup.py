@@ -1077,3 +1077,64 @@ def dedup_minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     return lsh_incremental_pairs(
         sigs, F.col("id") % 10 == 0, bands=8, rows=4, hash_mode="md5"
     ).orderBy("ida", "idb")
+
+
+def _jaccard_truth_sql(threshold: float) -> str:
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS ida, b.id AS idb, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT ida, idb FROM common
+    JOIN sizes sa ON sa.id = ida
+    JOIN sizes sb ON sb.id = idb
+    WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= {threshold}
+    """
+
+
+@register(
+    "eval_lsh_candidate_recall",
+    f"""
+    WITH truth AS ({_jaccard_truth_sql(0.5)}),
+    cand AS (SELECT ida, idb FROM ({_minhash_sql(32, 8, 4)})),
+    caught AS (SELECT * FROM truth WHERE (ida, idb) IN (SELECT (ida, idb) FROM cand))
+    SELECT (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM cand) AS n_candidates,
+           (SELECT count(*) FROM caught) AS n_caught,
+           CAST((SELECT count(*) FROM caught) AS DOUBLE)
+             / (SELECT count(*) FROM truth) AS recall
+    """,
+)
+def eval_lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the banded LSH candidate generator against exact
+    ground truth: what fraction of true near-dup pairs (3-gram Jaccard ≥
+    0.5, `dedup_ngram_jaccard`) does `dedup_minhash_lsh` (32 hashes,
+    8×4 bands) actually surface? This is the measurement that justifies
+    the band/row parameters before a production run trusts LSH at 100 TB
+    — composed from the two REGISTERED queries on the Spark side and
+    from their oracle SQL on the DuckDB side, so the audit cannot drift
+    from the operators it audits.
+
+    Scale: both inputs are the sub-quadratic pipelines themselves; the
+    intersection is a left-semi join on the pair key; the final counts
+    are three 1-row aggregates stitched by 1-row cross joins
+    (allowlisted BNLJ)."""
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("ida", "idb")
+    cand = dedup_minhash_lsh(spark, sf_dir).select("ida", "idb")
+    caught = truth.join(cand, ["ida", "idb"], "left_semi")
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_caught = caught.agg(F.count("*").alias("n_caught"))
+    return (
+        n_truth.crossJoin(n_cand)
+        .crossJoin(n_caught)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_caught",
+            (F.col("n_caught").cast("double") / F.col("n_truth")).alias("recall"),
+        )
+    )

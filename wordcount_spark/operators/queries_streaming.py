@@ -163,3 +163,29 @@ def q_streaming_doc_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         streaming_doc_quality_dedup(spark, sf_dir), "q_streaming_doc_curation",
         "complete",
     )
+
+
+def _lsh_full_oracle() -> str:
+    from wordcount_spark.operators.queries_dedup import _minhash_sql
+
+    return _minhash_sql(32, 8, 4)
+
+
+# STRONG oracle for a streaming op: every candidate pair is emitted
+# exactly when its LATER member arrives, so the accumulated pair set
+# after the finite replay equals the full-batch LSH pair set — the batch
+# pipeline's SQL checks the whole stream→index→probe loop (slicing
+# invariance proven in tests/test_streaming.py)
+@register("streaming_lsh_incremental", _lsh_full_oracle(), eager=True)
+def q_streaming_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates maintained as a stream: each
+    micro-batch of documents probes the standing banded index, emits the
+    pairs it creates, and appends its own band rows to the index
+    (`streaming/streams.py::streaming_lsh_index_maintenance`).
+
+    Scale: per batch the probe costs O(|Δ|·bands) rows joined against
+    the bucketed index; the index state is the table a production LSH
+    pipeline persists anyway. Old×old pairs never rejoin."""
+    from wordcount_spark.streaming.streams import streaming_lsh_index_maintenance
+
+    return streaming_lsh_index_maintenance(spark, sf_dir)

@@ -1626,40 +1626,44 @@ def text_heavyhitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram (center, context) pair extraction with a ±2 window — the
-    training-pair generator for word2vec-style embedding pretraining. The
-    Spark side turns the window condition into an EQUI-join: each token
-    row explodes into 4 (doc_id, pos+offset) probes joined back to the
-    position table on (doc_id, pos) — hash-partitionable, no range join,
-    no per-doc quadratic blowup (the oracle states the same window as a
-    non-equi position join, which DuckDB can afford at oracle scale).
-    Top-200 by count with (center, context) tiebreak keeps the output
-    deterministic.
+    training-pair generator for word2vec-style embedding pretraining.
+    SHUFFLE-FREE pair generation: adjacent pairs come from zipping the
+    token array against itself shifted by 1 and by 2 (``arrays_zip`` of
+    two slices — whole-stage-codegen array ops, no positions table, no
+    self-join); the backward offsets are the forward pairs emitted in
+    both directions. The only shuffle is the map-side-combinable pair
+    aggregate. (A first cut joined an offset-exploded positions table
+    back on (doc_id, pos): correct, but it shuffled 5× the token stream —
+    tools/scale_check.py showed 8.3× growth at 50× data vs ~2× for the
+    zip form. The oracle states the window as a non-equi position join,
+    fine at oracle scale.) Top-200 by count with (center, context)
+    tiebreak keeps the output deterministic.
 
-    Scale: the offset explode is 4× the token stream, shuffled once on
-    (doc_id, pos) — the same cost class as the tokenize itself; the pair
-    aggregate is map-side combinable. Window radius w costs 2w probes per
-    token, linear not quadratic. The top-k is a WindowGroupLimit-free
-    global sort-limit on the O(distinct pairs) aggregate."""
+    Scale: pair generation is narrow per-row array work; the shuffle
+    carries O(distinct pairs) partials, not the token stream. Window
+    radius w costs w zip-shifts, linear not quadratic. The top-k is a
+    sort-limit (TakeOrdered) on the aggregate."""
     docs = load_table(spark, sf_dir, "documents")
-    docs2 = load_table(spark, sf_dir, "documents")
+    toks = docs.select(_toks(F.lower("text")).alias("t"))
 
-    def positions(d: DataFrame) -> DataFrame:
-        return d.select(
-            "doc_id", F.posexplode(_toks(F.lower("text"))).alias("pos", "tok")
+    def shifted_pairs(d: int):
+        # (t[i], t[i+d]) for all valid i — struct array via arrays_zip
+        n = F.size("t")
+        return F.arrays_zip(
+            F.slice("t", 1, F.greatest(n - d, F.lit(0))),
+            F.expr(f"slice(t, {d + 1}, greatest(size(t) - {d}, 0))"),
         )
 
-    centers = positions(docs).select(
-        "doc_id",
-        F.col("tok").alias("center"),
-        F.explode(F.array(*[F.lit(o) for o in (-2, -1, 1, 2)])).alias("off"),
-        "pos",
-    ).select("doc_id", "center", (F.col("pos") + F.col("off")).alias("tpos"))
-    contexts = positions(docs2).select(
-        "doc_id", F.col("pos").alias("tpos"), F.col("tok").alias("context")
+    fwd = toks.select(
+        F.explode(F.concat(shifted_pairs(1), shifted_pairs(2))).alias("p")
+    ).select(F.col("p")["0"].alias("a"), F.col("p")["1"].alias("b"))
+    # ±window symmetry: every forward pair (a at i, b at i+d) is ALSO the
+    # backward pair (center=b, context=a) — emit both directions
+    both = fwd.select(F.col("a").alias("center"), F.col("b").alias("context")).unionAll(
+        fwd.select(F.col("b").alias("center"), F.col("a").alias("context"))
     )
     return (
-        centers.join(contexts, ["doc_id", "tpos"])
-        .groupBy("center", "context")
+        both.groupBy("center", "context")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "center", "context")
         .limit(200)
