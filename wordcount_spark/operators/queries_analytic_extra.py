@@ -335,3 +335,154 @@ def agg_quantiles_exact_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     for frame in probes[1:]:
         out = out.unionByName(frame)
     return out.orderBy("pct")
+
+
+@register(
+    "agg_mode_exact",
+    """
+    WITH counts AS (
+      SELECT p_brand, p_type, count(*) AS n
+      FROM part GROUP BY p_brand, p_type
+    ),
+    ranked AS (
+      SELECT p_brand, p_type, n,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY n DESC, p_type) AS rn
+      FROM counts
+    )
+    SELECT p_brand, p_type AS mode_type, n AS mode_count
+    FROM ranked WHERE rn = 1
+    ORDER BY p_brand
+    """,
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group MODE (most frequent value, lexicographic-min
+    tiebreak) — the categorical summary statistic SQL lacks a scalable
+    built-in for. Two-phase: count per (group, value) — map-side
+    combinable, the only pass over the data — then a per-group argmax
+    window over the O(groups × distinct values) count table.
+
+    Scale: the window runs over counts, never rows; a high-cardinality
+    value domain inflates the count table, in which case the argmax
+    flips to the max_by/struct-ordering form (`agg_argmax_join`) with
+    identical semantics."""
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    counts = part.groupBy("p_brand", "p_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("p_brand").orderBy(F.desc("n"), "p_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "p_brand",
+            F.col("p_type").alias("mode_type"),
+            F.col("n").alias("mode_count"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "pareto_abc_parts",
+    """
+    WITH rev AS (
+      SELECT l_partkey AS part_key,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(r) AS total FROM rev),
+    cum AS (
+      SELECT part_key, r,
+             sum(r) OVER (ORDER BY r DESC, part_key) AS cum_r, total
+      FROM rev, tot
+    ),
+    classed AS (
+      SELECT part_key, r,
+             CASE WHEN cum_r * 10 <= total * 8 THEN 'A'
+                  WHEN cum_r * 20 <= total * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM cum
+    )
+    SELECT abc_class, count(*) AS n_parts,
+           CAST(sum(r) AS DOUBLE) AS class_revenue
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+    eager=True,
+)
+def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: parts sorted by revenue
+    (exact DECIMAL, ties by key), running revenue share computed, class A
+    = the prefix holding ≤80% of total revenue, B to 95%, C the tail —
+    the assortment analysis every supply chain runs. The running sum over
+    ALL parts is the classic single-task-window trap, so it is computed
+    with the TWO-PHASE DISTRIBUTED PREFIX SUM (`llm_pack_sequences`
+    pattern): range-repartition by (revenue DESC, key), per-partition
+    prefix sums, and an O(partitions) collected offset map added back —
+    no global window anywhere (EAGER: the offset collect runs at plan
+    time). Class cuts compare exact decimals cross-multiplied by integer
+    constants (cum·10 ≤ total·8), so no float ratio ever meets a
+    threshold. The oracle states the same cuts over a plain window sum.
+
+    Scale: sort-shuffle + per-partition window + O(P) driver state —
+    the same cost as any global sort; at 100 TB the revenue table is
+    O(parts), orders of magnitude below the fact table it summarizes."""
+    from pyspark.sql import Window
+
+    spark_ = spark
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("part_key")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (1 - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("r")
+    )
+    npart = spark_.sparkContext.defaultParallelism
+    rp = (
+        rev.repartitionByRange(npart, F.desc("r"), "part_key")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = {
+        row["pid"]: row["tot"]
+        for row in rp.groupBy("pid").agg(F.sum("r").alias("tot")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    total = acc  # exact Decimal — full-precision string literal below
+    off_col = F.element_at(
+        F.create_map(
+            *[
+                c
+                for pid in sorted(offsets)
+                for c in (F.lit(pid), F.lit(str(offsets[pid])).cast("decimal(38,2)"))
+            ]
+        ),
+        F.col("pid"),
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy(F.desc("r"), "part_key")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rp.withColumn("cum_r", off_col + F.sum("r").over(w))
+    total_lit = F.lit(str(total)).cast("decimal(38,2)")
+    classed = cum.select(
+        "part_key",
+        "r",
+        F.when(F.col("cum_r") * 10 <= total_lit * 8, F.lit("A"))
+        .when(F.col("cum_r") * 20 <= total_lit * 19, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("r").cast("double").alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
