@@ -152,3 +152,69 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band_id")
     )
+
+
+@register(
+    "join_interval_overlap",
+    """
+    WITH spans AS (
+      SELECT o_custkey, o_orderkey, o_orderdate AS s,
+             o_orderdate + INTERVAL 30 DAY AS e
+      FROM orders
+    )
+    SELECT a.o_custkey AS custkey, a.o_orderkey AS k1, b.o_orderkey AS k2,
+           CAST(date_diff('day', greatest(a.s, b.s), least(a.e, b.e))
+                AS BIGINT) AS overlap_days
+    FROM spans a JOIN spans b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND a.s <= b.e AND b.s <= a.e
+    ORDER BY overlap_days DESC, custkey, k1, k2 LIMIT 50
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: each order opens a 30-day fulfilment
+    window; find same-customer orders whose windows overlap (the
+    concurrent-obligation / temporal-conflict query class — validity
+    intervals, sessions, reservations). Spark has no native interval
+    join, so the Spark-first form is an EQUI-join on the entity key with
+    the two range predicates left as residual filters — the equi key is
+    what makes it scale; the top-50 is tie-broken by (custkey, k1, k2)
+    so the LIMIT boundary is deterministic.
+
+    Scale: one shuffle of each side on o_custkey (sort-merge join);
+    within-key fan-out is bounded by orders-per-customer (~10 in a
+    TPC-H-shaped corpus), so the quadratic step is per-key-constant ×
+    rows, linear overall. Without an equi key this would be a range-only
+    join → interval binning (join on overlapping 30-day epoch buckets,
+    dedupe) is the fallback; here the key exists, so no binning needed.
+    overlap_days is an integer date diff — no float, no DATE output."""
+    o = load_table(spark, sf_dir, "orders")
+    spans = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("e"),
+    )
+    a, b = spans.alias("a"), spans.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("k1"),
+            F.col("b.o_orderkey").alias("k2"),
+            F.datediff(
+                F.least(F.col("a.e"), F.col("b.e")),
+                F.greatest(F.col("a.s"), F.col("b.s")),
+            )
+            .cast("long")
+            .alias("overlap_days"),
+        )
+        .orderBy(F.desc("overlap_days"), "custkey", "k1", "k2")
+        .limit(50)
+    )

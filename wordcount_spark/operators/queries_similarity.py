@@ -733,3 +733,74 @@ def _register_binary_hamming_recall():
 
 
 _register_binary_hamming_recall()
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    WITH ex AS (
+      SELECT t.dim AS dim, CAST(embedding[CAST(t.dim + 1 AS INT)] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN generate_series(0, 63) AS t(dim)
+    ),
+    q AS (
+      SELECT dim, x, CAST(floor(x * 1000000.0) AS BIGINT) AS qv FROM ex
+    ),
+    agg AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n_vals,
+             min(x) + 0.0 AS vmin, max(x) + 0.0 AS vmax,
+             CAST(sum(qv) AS DOUBLE) AS sq,
+             CAST(sum(CAST(qv AS DECIMAL(38,0)) * qv) AS DOUBLE) AS sqq
+      FROM q GROUP BY dim
+    )
+    SELECT dim, n_vals, vmin, vmax,
+           floor(((sq / n_vals) / 1000000.0) * 1000000.0 + 1e-6) / 1000000.0
+             + 0.0 AS mean_val,
+           floor((((sqq / n_vals) - (sq / n_vals) * (sq / n_vals))
+                  / 1000000000000.0) * 1000000.0 + 1e-6) / 1000000.0
+             + 0.0 AS var_val
+    FROM agg ORDER BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension profile of the embedding column (n, min, max, mean,
+    variance) — the data-QA pass you run BEFORE trusting any ANN index:
+    a dead dimension (var≈0) or a scale-outlier dimension distorts every
+    cosine. Engine parity: float→double is exact and min/max are
+    order-independent, so they compare raw; mean/variance go through the
+    repo fixed-point pattern — floor(x·1e6) micro-units summed exactly
+    (the sum-of-squares in DECIMAL(38,0): it exceeds BIGINT at ~1e13
+    rows/dim), with ONE identical float expression at the end on both
+    sides (events_ewma_fixedpoint precedent).
+
+    Scale: posexplode is a 64× row blow-up, but the aggregate is
+    map-side-combinable into 64 groups — shuffle traffic is O(64 ×
+    partitions) no matter the corpus; nothing else moves."""
+    from wordcount_spark.operators.relational import stable_round
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("dim", "xf")).select(
+        F.col("dim").cast("long").alias("dim"), F.col("xf").cast("double").alias("x")
+    )
+    q = ex.select("dim", "x", F.floor(F.col("x") * 1000000.0).cast("long").alias("qv"))
+    agg = q.groupBy("dim").agg(
+        F.count("*").alias("n_vals"),
+        (F.min("x") + F.lit(0.0)).alias("vmin"),
+        (F.max("x") + F.lit(0.0)).alias("vmax"),
+        F.sum("qv").cast("double").alias("sq"),
+        F.sum(F.col("qv").cast("decimal(38,0)") * F.col("qv")).cast("double").alias(
+            "sqq"
+        ),
+    )
+    n_d = F.col("n_vals").cast("double")
+    return agg.select(
+        "dim",
+        "n_vals",
+        "vmin",
+        "vmax",
+        stable_round((F.col("sq") / n_d) / 1000000.0, 6).alias("mean_val"),
+        stable_round(
+            ((F.col("sqq") / n_d) - (F.col("sq") / n_d) * (F.col("sq") / n_d))
+            / 1000000000000.0,
+            6,
+        ).alias("var_val"),
+    ).orderBy("dim")

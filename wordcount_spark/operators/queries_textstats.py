@@ -1827,3 +1827,347 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
         ).alias("zipf_slope"),
     )
+
+
+def _hash64(col: F.Column) -> F.Column:
+    """Engine-portable 60-bit token hash: leading 15 hex digits of md5,
+    parsed base-16 (same construction as operators/dedup.base_hash
+    mode='md5' — DuckDB computes the identical value with
+    ``('0x' || substr(md5(s),1,15))::BIGINT``). Always non-negative."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_HASH64_SQL = "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "text_feature_hash_vectors",
+    f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                    '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS tok
+      FROM documents
+    )
+    SELECT {_HASH64_SQL.format(s="tok")} % 64 AS bucket,
+           CAST(count(DISTINCT tok) AS BIGINT) AS n_terms,
+           CAST(count(*) AS BIGINT) AS total_cnt
+    FROM toks GROUP BY bucket ORDER BY bucket
+    """,
+)
+def text_feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (the count-vectorizer of fastText /
+    Vowpal Wabbit): every token maps to one of D=64 buckets by a portable
+    md5-derived hash, so the feature space is FIXED-width no matter how
+    the vocabulary grows — no vocabulary dictionary to build, broadcast,
+    or keep consistent across batches. Output is the bucket-level audit
+    (distinct tokens per bucket = collision load, total counts): the
+    per-doc sparse vectors are this same frame grouped one level finer.
+
+    Scale: one explode + one map-side-combinable groupBy on a key with
+    64 values — the aggregate state is O(64 × partitions) regardless of
+    corpus size. No vocabulary table exists at all (THE reason the
+    hashing trick survives 100 TB where a dictionary-based vectorizer
+    needs a consistent, ever-growing broadcast)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_toks(F.lower("text"))).alias("tok"))
+        .select((_hash64(F.col("tok")) % 64).alias("bucket"), "tok")
+        .groupBy("bucket")
+        .agg(
+            F.count_distinct("tok").alias("n_terms"),
+            F.count("*").alias("total_cnt"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "text_tfidf_doc_similarity",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+                    '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dfreq AS (
+      SELECT tok, count(*) AS df FROM tf GROUP BY tok
+      HAVING count(*) BETWEEN 2 AND 20
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.tok,
+             CAST(tf.tf AS DECIMAL(9,4))
+               * CAST(round(ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 4)
+                      AS DECIMAL(9,4)) AS w
+      FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+    ),
+    norms AS (SELECT doc_id, sum(w * w) AS nsq FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb,
+             CAST(count(*) AS BIGINT) AS n_shared, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT ida, idb, n_shared,
+           floor((CAST(dot AS DOUBLE)
+                  / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))))
+                 * 1000000.0 + 1e-6) / 1000000.0 + 0.0 AS cos_sim
+    FROM dots JOIN norms na ON na.doc_id = ida JOIN norms nb ON nb.doc_id = idb
+    ORDER BY cos_sim DESC, ida, idb LIMIT 20
+    """,
+)
+def text_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most similar document PAIRS by TF-IDF cosine, computed
+    sparsely through the inverted index: two docs only ever meet on a
+    term they share, so there is no dense doc×doc matmul anywhere. Terms
+    are df-banded (2 ≤ df ≤ 20): df<2 cannot form a pair, and df above
+    the cap carries near-zero idf while contributing the quadratic
+    fan-out — dropping it bounds the per-term pair blow-up at cap²
+    (exactly the trick MinHash banding uses for dedup, here for scoring).
+    Engine parity: idf = round(ln(N/df), 4) fixed as DECIMAL (repo ln
+    rule), tf exact — so weights, dots, and squared norms are exact
+    decimal arithmetic; the ONLY float math is the final
+    dot/(√na·√nb), one fixed expression stable_round'ed on both sides.
+
+    Scale: tf and df are map-side-combinable aggregates; the self-join
+    shuffles the df-banded weight frame once on the term key; per-term
+    fan-out ≤ C(20,2); top-20 is TakeOrdered, never a global sort. At
+    100 TB you tighten the df band (or sample per term) — the plan
+    shape is unchanged."""
+    from wordcount_spark.operators.relational import stable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_toks(F.lower("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = (
+        tf.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 20))
+    )
+    n_docs = docs.count()  # scalar, fixed at plan time
+    w = tf.join(dfreq, "tok").select(
+        "doc_id",
+        "tok",
+        (
+            F.col("tf").cast("decimal(9,4)")
+            * F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 4).cast(
+                "decimal(9,4)"
+            )
+        ).alias("w"),
+    )
+    # pinned: the pair join consumes it twice and the norms once
+    w = w.cache()
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nsq"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.sum(F.col("a.w") * F.col("b.w")).alias("dot"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("ida"), F.col("nsq").alias("nsqa"))
+    nb = norms.select(F.col("doc_id").alias("idb"), F.col("nsq").alias("nsqb"))
+    return (
+        dots.join(na, "ida")
+        .join(nb, "idb")
+        .select(
+            "ida",
+            "idb",
+            "n_shared",
+            stable_round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("nsqa").cast("double"))
+                    * F.sqrt(F.col("nsqb").cast("double"))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "ida", "idb")
+        .limit(20)
+    )
+
+
+@register(
+    "text_winnowing_fingerprints",
+    """
+    WITH base AS (
+      SELECT doc_id, text, length(text) AS len FROM documents
+      WHERE length(text) >= 11
+    ),
+    pos AS (
+      SELECT doc_id, len, text, unnest(range(1, len - 6)) AS p FROM base
+    ),
+    g AS (
+      SELECT doc_id, len, p,
+             CAST(('0x' || substr(md5(substr(text, CAST(p AS INT), 8)), 1, 15))
+                  AS BIGINT) AS h
+      FROM pos
+    ),
+    m AS (
+      SELECT doc_id, len, p,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(count(DISTINCT wmin) AS BIGINT) AS n_fp,
+           CAST(max(len - 10) AS BIGINT) AS n_windows,
+           floor((CAST(count(DISTINCT wmin) AS DOUBLE) / max(len - 10))
+                 * 1000000.0 + 1e-6) / 1000000.0 + 0.0 AS density
+    FROM m WHERE p <= len - 10
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer et al., SIGMOD'03):
+    hash every k=8 char-gram, slide a w=4 window over the hash sequence,
+    and keep each window's minimum — the guarantee is every shared
+    substring of length ≥ k+w-1 leaves at least one common fingerprint,
+    at ~2/(w+1) the density of full k-gram shingling. The selected VALUE
+    set is exactly the distinct window-min set, which sidesteps the
+    rightmost-tie positional rule entirely (tie choices change positions,
+    never values) — so the per-doc fingerprint count and density are
+    tie-rule-independent and engine-portable. Companion to
+    `text_fingerprint`/`text_rolling_fingerprint` (those shingle at full
+    density; this is the budgeted variant you actually store at scale).
+
+    Scale: explode is O(chars) rows but they stay put — the window min
+    runs inside the per-doc sort of ONE shuffle on doc_id, and the
+    distinct-count collapses to O(docs) rows. Fingerprint storage per doc
+    is ~2/(w+1) of full shingling, which is the point at 100 TB."""
+    from wordcount_spark.operators.relational import stable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text", F.length("text").alias("len")).filter(
+        F.col("len") >= 11
+    )
+    g = base.select(
+        "doc_id",
+        "len",
+        F.explode(F.sequence(F.lit(1), F.col("len") - 7)).alias("p"),
+        "text",
+    ).select(
+        "doc_id",
+        "len",
+        "p",
+        _hash64(F.col("text").substr(F.col("p"), F.lit(8))).alias("h"),
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, 3)
+    m = g.select("doc_id", "len", "p", F.min("h").over(win).alias("wmin")).filter(
+        F.col("p") <= F.col("len") - 10
+    )
+    return (
+        m.groupBy("doc_id")
+        .agg(
+            F.count_distinct("wmin").alias("n_fp"),
+            F.max(F.col("len") - 10).cast("long").alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_fp",
+            "n_windows",
+            stable_round(
+                F.col("n_fp").cast("double") / F.col("n_windows"), 6
+            ).alias("density"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_ngram_novelty",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+                         x -> x <> '') AS a
+      FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(list_transform(range(1, len(a) - 1),
+                    i -> a[i] || ' ' || a[i + 1] || ' ' || a[i + 2])) AS gram
+      FROM d WHERE len(a) >= 3),
+    f AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY gram)
+                  THEN 1 ELSE 0 END AS novel
+      FROM g)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(novel) AS BIGINT) AS n_novel,
+           floor((CAST(sum(novel) AS DOUBLE) / count(*)) * 1000000.0 + 1e-6)
+             / 1000000.0 + 0.0 AS novelty_ratio
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty: the fraction of each source's DISTINCT
+    doc-level trigrams whose globally first occurrence (min doc_id) is in
+    that very document — the "how much genuinely new text does this
+    source add" curve that drives mixture weights and crawl-dedup policy
+    (a source whose novelty ratio collapses is re-crawling what the
+    corpus already holds). Trigram construction is pure array math on the
+    split token list (transform over an index sequence — no per-doc
+    window, no self-join), distinct-ed at (doc, gram) grain so a phrase
+    repeated inside one doc counts once.
+
+    Scale: two shuffles of the gram stream — the (doc,gram) distinct and
+    the partitionBy(gram) first-occurrence window (min over the
+    partition, O(1) state, never a global window); the per-source rollup
+    is map-side-combinable into O(sources) groups. novelty_ratio is a
+    ratio of small integers → stable_round (repo lattice rule)."""
+    from pyspark.sql import Window
+
+    from wordcount_spark.operators.relational import stable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", _toks(F.lower("text")).alias("a"))
+    g = (
+        d.filter(F.size("a") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("a") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("a", i),
+                        F.element_at("a", i + 1),
+                        F.element_at("a", i + 2),
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    novel = (
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("gram"))
+    ).cast("int")
+    return (
+        g.select("doc_id", "source", novel.alias("novel"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("novel").alias("n_novel"),
+        )
+        .select(
+            "source",
+            "n_grams",
+            "n_novel",
+            stable_round(
+                F.col("n_novel").cast("double") / F.col("n_grams"), 6
+            ).alias("novelty_ratio"),
+        )
+        .orderBy("source")
+    )

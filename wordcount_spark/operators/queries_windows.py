@@ -591,3 +591,135 @@ def window_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "events_attribution_lasttouch",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src
+      FROM events)
+    SELECT coalesce(src, '(direct)') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 + 0.0 AS revenue
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY channel ORDER BY channel
+    """,
+)
+def events_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is credited to the
+    most recent NON-purchase event the same user emitted before it (the
+    marketing-analytics staple; '(direct)' when a purchase is the user's
+    first event). The attribution channel is a running last_value(...
+    IGNORE NULLS) over a strictly-preceding row frame — (ts, event_id) is
+    a deterministic total order, so the credited channel is unambiguous.
+    Revenue follows the repo fixed-point rule: floor(value·1e6) micro-units
+    summed as exact BIGINT, ONE identical float division at output
+    (events_ewma_fixedpoint precedent) — no order-dependent double sum.
+
+    Scale: one shuffle of events on user_id for the window sort (the
+    minimum for any per-user sequence feature), then a map-side-combinable
+    groupBy on O(|event types|) channels. State per row is O(1) — the
+    carry is a single value, so the window never buffers the frame. At
+    100 TB nothing changes: the per-user partition is the unit of work and
+    users are plentiful; a single pathological user with billions of
+    events would need the sessionized variant (split the frame per
+    session) — documented fallback, not needed on event-scale data."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("src"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("src", F.lit("(direct)")).alias("channel"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            (
+                F.sum(F.floor(F.col("value") * 1000000.0)).cast("double")
+                / 1000000.0
+                + F.lit(0.0)
+            ).alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
+    "events_anomaly_robust_mad",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY event_type, day),
+    m AS (SELECT event_type, median(n) AS med FROM d GROUP BY event_type),
+    a AS (
+      SELECT d.event_type, d.day, d.n, m.med, abs(d.n - m.med) AS dev
+      FROM d JOIN m USING (event_type)),
+    md AS (SELECT event_type, median(dev) AS mad FROM a GROUP BY event_type)
+    SELECT a.event_type, CAST(a.day AS TIMESTAMP) AS day, a.n,
+           a.med + 0.0 AS med, md.mad + 0.0 AS mad,
+           (a.n - a.med) / (1.4826 * nullif(md.mad, 0.0)) + 0.0 AS robust_z
+    FROM a JOIN md USING (event_type)
+    ORDER BY event_type, day
+    """,
+)
+def events_anomaly_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume anomalies: median/MAD z-scores per (event_type, day)
+    — the outlier-resistant twin of `events_daily_anomaly` (mean/stddev
+    are themselves dragged by the very spike being hunted; the 1.4826
+    factor makes MAD consistent with sigma under normality). EXACT medians,
+    not approx: they run over the already-aggregated daily frame
+    (types × days rows), and integer-count medians interpolate to binary-
+    exact .0/.5 midpoints (deviation medians to .25) on BOTH engines — so
+    every input to robust_z is bit-identical and the one float expression
+    needs no rounding (nullif guards the all-days-identical MAD=0 case).
+
+    Scale: the single heavy exchange is the map-side-combinable daily
+    count; medians + both join-backs touch only the O(types × days)
+    aggregate, which the engine broadcasts while small and shuffles when
+    it is not — no hints, no collect, no global window."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    med = daily.groupBy("event_type").agg(F.median("n").alias("med"))
+    a = daily.join(med, "event_type").select(
+        "event_type", "day", "n", "med",
+        F.abs(F.col("n") - F.col("med")).alias("dev"),
+    )
+    mad = a.groupBy("event_type").agg(F.median("dev").alias("mad"))
+    return (
+        a.join(mad, "event_type")
+        .select(
+            "event_type",
+            F.col("day").cast("timestamp").alias("day"),
+            "n",
+            (F.col("med") + F.lit(0.0)).alias("med"),
+            (F.col("mad") + F.lit(0.0)).alias("mad"),
+            (
+                (F.col("n") - F.col("med"))
+                / (F.lit(1.4826) * F.nullif("mad", F.lit(0.0)))
+                + F.lit(0.0)
+            ).alias("robust_z"),
+        )
+        .orderBy("event_type", "day")
+    )
