@@ -218,3 +218,67 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("overlap_days"), "custkey", "k1", "k2")
         .limit(50)
     )
+
+
+@register(
+    "asof_join_tolerance",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    m AS (
+      SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.o_orderdate
+      FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN o_orderdate >= CAST(ts AS DATE) - INTERVAL 30 DAY
+                THEN o_orderkey ELSE -1 END AS last_orderkey_30d,
+           CASE WHEN o_orderdate >= CAST(ts AS DATE) - INTERVAL 30 DAY
+                THEN CAST(date_diff('day', o_orderdate, CAST(ts AS DATE)) AS BIGINT)
+                ELSE -1 END AS age_days
+    FROM m ORDER BY event_id
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance (pandas ``merge_asof(...,
+    tolerance=30d)`` semantics — the market-data form: a quote older than
+    the tolerance must NOT fill the trade). Same union+keyed-window as-of
+    as `asof_join_last_order`, then matches older than 30 days are
+    nulled out — expressed as a sentinel -1 on BOTH engines so the output
+    stays non-nullable BIGINT (nullable ints coerce to float64 under
+    pandas and hash as '123.0'). Left rows always survive: tolerance
+    rejection loses the match, never the event.
+
+    Scale: identical to the plain as-of — one shared user-keyed exchange
+    + per-partition time sort, O(1) carry-forward state; the tolerance is
+    a post-carry filter, costing nothing. No range join exists anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        orders.withColumnRenamed("o_custkey", "user_id"),
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"],
+    )
+    fresh = F.col("o_orderdate") >= F.date_sub(F.to_date("ts"), 30)
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("o_orderkey")).otherwise(F.lit(-1))
+        .cast("long")
+        .alias("last_orderkey_30d"),
+        F.when(fresh, F.datediff(F.to_date("ts"), F.col("o_orderdate")))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("age_days"),
+    ).orderBy("event_id")

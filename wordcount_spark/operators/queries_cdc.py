@@ -452,3 +452,85 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version_type")
     )
+
+
+@register(
+    "cdc_tombstone_gc",
+    f"""
+    WITH log AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ),
+    latest AS (
+      SELECT user_id, ts AS last_ts, op AS last_op,
+             CAST(cnt AS BIGINT) AS n_versions,
+             CAST(dels AS BIGINT) AS n_deletes
+      FROM (
+        SELECT *,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS cnt,
+               count(*) FILTER (WHERE op = 'D')
+                   OVER (PARTITION BY user_id) AS dels
+        FROM log) t
+      WHERE rn = 1
+    )
+    SELECT user_id,
+           CASE WHEN last_op = 'U' THEN 'live'
+                WHEN last_ts < TIMESTAMP '{_CUTOFF}' THEN 'tombstone_gc'
+                ELSE 'tombstone_retained' END AS state,
+           last_ts, n_versions, n_deletes
+    FROM latest ORDER BY user_id
+    """,
+)
+def cdc_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone garbage-collection audit over a keyed changelog (the
+    compaction planner of every LSM / log-compacted store: Kafka compact,
+    Delta/Iceberg VACUUM, Cassandra gc_grace). The events stream is read
+    as a CDC log — ``error`` rows are deletes, everything else an upsert;
+    version order is (ts, event_id), the same total order the other cdc_*
+    queries use. Each key classifies as: ``live`` (latest op is an
+    upsert), ``tombstone_gc`` (latest op is a delete older than the
+    retention watermark — safe to purge, no snapshot reader can need it),
+    or ``tombstone_retained`` (deleted after the watermark — must survive
+    compaction so late readers observe the delete).
+
+    Scale: one user-keyed exchange; the classifying window carries O(1)
+    state per key (top-1 row + two running counts share the same sort).
+    The physical GC this audit drives is a partition-local filter at
+    rewrite time — no shuffle; the watermark is the slowest reader's
+    snapshot timestamp, a broadcast scalar.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    wk = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        log.select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("op").alias("last_op"),
+            F.count("*").over(wk).cast("long").alias("n_versions"),
+            F.count_if(F.col("op") == "D").over(wk).cast("long").alias("n_deletes"),
+            F.row_number().over(wo).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    cut = F.lit(_CUTOFF).cast("timestamp")
+    return latest.select(
+        "user_id",
+        F.when(F.col("last_op") == "U", "live")
+        .when(F.col("last_ts") < cut, "tombstone_gc")
+        .otherwise("tombstone_retained")
+        .alias("state"),
+        "last_ts",
+        "n_versions",
+        "n_deletes",
+    ).orderBy("user_id")

@@ -1138,3 +1138,137 @@ def eval_lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_caught").cast("double") / F.col("n_truth")).alias("recall"),
         )
     )
+
+
+_LINE_W = 15  # tokens per synthetic "line" (the corpus has no newlines)
+
+
+@register(
+    "text_line_dedup_c4",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    ln AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, (len(toks) + {_LINE_W - 1}) // {_LINE_W}),
+                    i -> array_to_string(
+                           list_slice(toks, i * {_LINE_W} + 1, i * {_LINE_W} + {_LINE_W}),
+                           ' '))) AS line
+      FROM t WHERE len(toks) > 0
+    ),
+    own AS (SELECT line, min(doc_id) AS keeper FROM ln GROUP BY line)
+    SELECT l.doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE l.doc_id <> o.keeper) AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN l.doc_id = o.keeper THEN len(l.line) ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM ln l JOIN own o USING (line)
+    GROUP BY l.doc_id ORDER BY l.doc_id
+    """,
+)
+def text_line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level dedup (Raffel et al. 2020 remove any
+    three-sentence span occurring more than once in the corpus; FineWeb
+    dedups lines): every document splits into fixed 15-token "lines"
+    (this corpus has no newlines, so the line boundary is positional —
+    the operator shape is identical), each line keeps its single corpus-
+    wide survivor occurrence (min doc_id), and every other occurrence is
+    removed. Output is the per-document audit: line count, removed
+    count, and characters surviving — the corpus transformation a real
+    pipeline applies before tokenization.
+
+    Scale: the line frame is O(tokens/15) rows; ownership is one
+    map-side-combinable min-aggregation on the line text (at 100 TB,
+    hash the line to a 128-bit key first so the shuffle carries 16-byte
+    keys, not strings — same survivor semantics), then one line-keyed
+    join back and a doc-keyed count. No pairwise work anywhere: line
+    dedup is exact dedup on the line grain.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+    w = _LINE_W
+    nl = F.floor((F.size(toks) + F.lit(w - 1)) / F.lit(w)).cast("long")
+    lines = (
+        docs.where(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0).cast("long"), nl - 1),
+                    lambda i: F.array_join(
+                        F.slice(toks, (i * w + 1).cast("int"), w), " "
+                    ),
+                )
+            ).alias("line"),
+        )
+    )
+    own = lines.groupBy("line").agg(F.min("doc_id").alias("keeper"))
+    return (
+        lines.join(own, "line")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.count_if(F.col("doc_id") != F.col("keeper"))
+            .cast("long")
+            .alias("n_removed"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("keeper"), F.length("line"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_prefix_hash",
+    """
+    WITH p AS (
+      SELECT doc_id, n_chars, md5(substr(text, 1, 64)) AS prefix_hash
+      FROM documents
+    )
+    SELECT prefix_hash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS survivor_doc_id,
+           CAST(sum(n_chars) - min(n_chars) AS BIGINT) AS removable_chars
+    FROM p
+    GROUP BY prefix_hash HAVING count(*) >= 2
+    ORDER BY n_docs DESC, prefix_hash
+    """,
+)
+def dedup_prefix_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-hash dedup candidates: documents agreeing on their first 64
+    characters (the cheap URL-/boilerplate-dedup heuristic crawl
+    pipelines run BEFORE full-content hashing — a scrape of the same page
+    template shares its head even when tails diverge). One hash per doc,
+    groups of ≥ 2 are duplicate candidates; survivor = min doc_id;
+    removable_chars is the upper bound freed if the group collapses
+    (every member's chars minus one kept copy — min(n_chars) is the
+    conservative keep).
+
+    Scale: strictly cheaper than exact dedup — the shuffle key is a
+    16-byte md5 of a 64-byte prefix, computed without reading the
+    document tail (at 100 TB with long documents, a substring scan
+    reads a fraction of the bytes content-hashing must touch); one
+    map-side-combinable aggregation, no joins, no pairwise step.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id", "n_chars", F.md5(F.substring("text", 1, 64)).alias("prefix_hash")
+    )
+    return (
+        p.groupBy("prefix_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("survivor_doc_id"),
+            (F.sum("n_chars") - F.min("n_chars")).cast("long").alias("removable_chars"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "prefix_hash")
+    )

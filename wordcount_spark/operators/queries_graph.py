@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from wordcount_spark.operators.relational import dbl, stable_round, stable_round_sql
 from wordcount_spark.registry import register
 from wordcount_spark.sources.readers import load_table
 
@@ -522,3 +523,90 @@ def graph_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
         und, (cand["u"] == und["u"]) & (cand["w"] == und["v"]), "left_anti"
     )
     return missing.orderBy(F.desc("common_neighbors"), "u", "w").limit(20)
+
+
+@register(
+    "graph_adamic_adar",
+    f"""
+    WITH {_UND_SQL},
+    low AS (SELECT node, d FROM deg WHERE d <= 100 AND d >= 2),
+    adj AS (
+      SELECT u AS center, v AS nbr FROM und
+      UNION ALL
+      SELECT v AS center, u AS nbr FROM und
+    ),
+    wgt AS (
+      SELECT a.center, a.nbr,
+             CAST({stable_round_sql('1.0 / round(ln(l.d), 4)', 6)}
+                  AS DECIMAL(18,6)) AS wz
+      FROM adj a JOIN low l ON a.center = l.node
+    ),
+    cand AS (
+      SELECT a.nbr AS u, b.nbr AS w, count(*) AS cn, sum(a.wz) AS s
+      FROM wgt a JOIN wgt b ON a.center = b.center AND a.nbr < b.nbr
+      GROUP BY a.nbr, b.nbr
+    )
+    SELECT u, w, CAST(cn AS BIGINT) AS common_neighbors,
+           CAST(s AS DOUBLE) AS aa_score
+    FROM cand
+    WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.u = cand.u AND und.v = cand.w)
+    ORDER BY aa_score DESC, u, w
+    LIMIT 20
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction: common-neighbors weighted by
+    1/ln(degree) of the shared neighbor, so a rare co-purchase partner
+    counts for more than a ubiquitous one — the standard upgrade over raw
+    common-neighbor counting (Adamic & Adar 2003). Same wedge machinery
+    as `graph_link_prediction_cn` (degree ≤ 100 centers cap the fan-out
+    at cap² per center; d ≥ 2 because ln(1) = 0 cannot weight anything),
+    but each wedge carries its center's weight and the pair aggregates a
+    SUM instead of a COUNT. Engine parity: ln(d) rounds to 4dp (repo ln
+    rule), the reciprocal — a ratio that can land ON the 6dp rounding
+    lattice — goes through stable_round, and the per-pair sum is exact
+    DECIMAL(18,6) so score order is independent of wedge arrival order;
+    one cast to DOUBLE at output.
+
+    Scale: identical profile to the CN query — one center-keyed shuffle
+    for the wedge self-join (weights ride along, no extra join), one
+    map-side-combinable pair aggregation, one anti-join against the edge
+    list. The degree filter prunes BEFORE the quadratic step.
+    """
+    und = _undirected_copurchase(spark, sf_dir)
+    deg = _degrees(und)
+    adj = und.select(F.col("u").alias("center"), F.col("v").alias("nbr")).unionAll(
+        und.select(F.col("v").alias("center"), F.col("u").alias("nbr"))
+    )
+    low = deg.where((F.col("d") <= 100) & (F.col("d") >= 2)).select(
+        F.col("node").alias("center"), "d"
+    )
+    wgt = adj.join(low, "center").select(
+        "center",
+        "nbr",
+        stable_round(F.lit(1.0) / F.round(F.log(F.col("d").cast("double")), 4), 6)
+        .cast("decimal(18,6)")
+        .alias("wz"),
+    )
+    a = wgt.alias("a")
+    b = wgt.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.center") == F.col("b.center"))
+            & (F.col("a.nbr") < F.col("b.nbr")),
+        )
+        .groupBy(F.col("a.nbr").alias("u"), F.col("b.nbr").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("common_neighbors"),
+            F.sum(F.col("a.wz")).alias("s"),
+        )
+    )
+    missing = cand.join(
+        und, (cand["u"] == und["u"]) & (cand["w"] == und["v"]), "left_anti"
+    )
+    return (
+        missing.select("u", "w", "common_neighbors", dbl("s").alias("aa_score"))
+        .orderBy(F.desc("aa_score"), "u", "w")
+        .limit(20)
+    )

@@ -353,3 +353,104 @@ def retrieval_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") >= 50)
         .orderBy("term")
     )
+
+
+#: Fixed two-word phrases over the corpus vocabulary for positional match.
+PHRASES: tuple[tuple[str, str], ...] = (
+    ("table", "scan"),
+    ("hash", "join"),
+    ("sort", "merge"),
+)
+
+
+def _phrase_count_sql(w1: str, w2: str) -> str:
+    """Occurrences of the adjacent pair (w1, w2) in the token list
+    (DuckDB lists are 1-based; range(1, n) yields 1..n-1)."""
+    return (
+        f"len(list_filter(range(1, len(toks)), "
+        f"i -> toks[i] = '{w1}' AND toks[i + 1] = '{w2}'))"
+    )
+
+
+_PHRASE_SQL_COLS = ",\n      ".join(
+    f"CAST({_phrase_count_sql(w1, w2)} AS BIGINT) AS p{i}"
+    for i, (w1, w2) in enumerate(PHRASES)
+)
+_PHRASE_STACK_SQL = " UNION ALL ".join(
+    f"SELECT '{w1} {w2}' AS phrase, p{i} AS n FROM counted"
+    for i, (w1, w2) in enumerate(PHRASES)
+)
+
+
+@register(
+    "retrieval_phrase_match",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    counted AS (
+      SELECT doc_id,
+      {_PHRASE_SQL_COLS}
+      FROM t
+    ),
+    long AS ({_PHRASE_STACK_SQL})
+    SELECT phrase, CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_occurrences
+    FROM long GROUP BY phrase ORDER BY phrase
+    """,
+)
+def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase matching — the positional-index query a plain
+    bag-of-words inverted index cannot answer. Spark-first form: NO
+    positional explode and NO self-join on (doc, pos+1) — each phrase is
+    one linear array scan per document (``filter`` over the offset range
+    with 1-based ``element_at``, the same formula DuckDB runs on its
+    1-based lists), then the per-phrase counts unpivot via ``stack``.
+    Zero joins, zero extra shuffles: one doc scan + one 3-group
+    aggregation.
+
+    Scale: per-doc work is O(tokens × phrases) inside whole-stage
+    codegen; the shuffle carries 3 rows per mapper after partial
+    aggregation. An adjacency self-join formulation would shuffle the
+    full positional posting list (O(tokens) rows); this never leaves the
+    scan. At serving scale the phrase list is the broadcast side and the
+    same scan evaluates all phrases in one pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+    counted = docs.select(
+        "doc_id",
+        *[
+            F.when(
+                F.size(toks) >= 2,
+                F.size(
+                    F.filter(
+                        F.sequence(F.lit(1), F.size(toks) - 1),
+                        lambda i: (F.element_at(toks, i) == F.lit(w1))
+                        & (F.element_at(toks, i + 1) == F.lit(w2)),
+                    )
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias(f"p{i}")
+            for i, (w1, w2) in enumerate(PHRASES)
+        ],
+    )
+    stack_expr = ", ".join(
+        f"'{w1} {w2}', p{i}" for i, (w1, w2) in enumerate(PHRASES)
+    )
+    long = counted.select(
+        F.expr(f"stack({len(PHRASES)}, {stack_expr}) AS (phrase, n)")
+    )
+    return (
+        long.groupBy("phrase")
+        .agg(
+            F.count_if(F.col("n") > 0).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("n_occurrences"),
+        )
+        .orderBy("phrase")
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wordcount_spark.operators.relational import dec
+from wordcount_spark.operators.relational import dec, stable_round_sql
 from wordcount_spark.registry import register
 from wordcount_spark.sources.readers import load_table
 
@@ -2171,3 +2171,69 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_tokenizer_fertility",
+    f"""
+    WITH per_doc AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}'))
+               AS bpe,
+             len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+                             x -> x <> '')) AS ws,
+             n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           {stable_round_sql('CAST(sum(bpe) AS DOUBLE) / sum(ws)', 6)} AS fertility,
+           {stable_round_sql('CAST(sum(n_chars) AS DOUBLE) / sum(bpe)', 6)} AS chars_per_token
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: BPE-ish subword tokens per
+    whitespace word and characters per subword token — the per-language
+    cost model every multilingual pretraining budget is built on (a
+    tokenizer with fertility 2.8 on one language pays 2.8× the sequence
+    length for the same text; see e.g. the XLM-R and BLOOM tokenizer
+    analyses). Reuses the exact `_BPE_RE` pre-tokenizer that
+    `text_bpe_token_count` counts with, aggregated to the language grain.
+    Both ratios are integer-over-integer — the rounding-lattice class —
+    so they go through stable_round on both sides.
+
+    Scale: map-only regex counting in codegen feeding one
+    map-side-combinable aggregation on lang (O(langs) result rows); no
+    joins, the sums are exact BIGINTs so the ratios are bit-identical
+    regardless of partitioning.
+    """
+    from wordcount_spark.operators.relational import stable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias("bpe"),
+        F.size(_toks()).alias("ws"),
+        "n_chars",
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("bpe").cast("long").alias("bpe_tokens"),
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "bpe_tokens",
+        "ws_tokens",
+        stable_round(
+            F.col("bpe_tokens").cast("double") / F.col("ws_tokens"), 6
+        ).alias("fertility"),
+        stable_round(
+            F.col("chars").cast("double") / F.col("bpe_tokens"), 6
+        ).alias("chars_per_token"),
+    ).orderBy("lang")

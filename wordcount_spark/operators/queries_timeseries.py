@@ -590,3 +590,88 @@ def events_ewma_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket_hour")
     )
+
+
+@register(
+    "events_cusum_changepoint",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(c) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS nb
+      FROM hourly GROUP BY 1
+    ),
+    cum AS (
+      SELECT event_type, h,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS pre,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS i
+      FROM hourly
+    ),
+    s AS (
+      SELECT c.event_type, c.h,
+             CAST(t.nb * c.pre - c.i * t.total AS BIGINT) AS cusum_scaled,
+             t.nb, t.total
+      FROM cum c JOIN tot t USING (event_type)
+    )
+    SELECT event_type, h AS change_hour, cusum_scaled,
+           nb AS n_buckets, total AS total_events
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY abs(cusum_scaled) DESC, h) AS rn
+          FROM s) z
+    WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the hour where the
+    cumulative deviation of hourly counts from the per-type mean peaks —
+    the classic single-changepoint estimator (argmax |S_i|, Page 1954)
+    over each type's hourly rate series. INTEGER-EXACT by construction:
+    instead of S_i = prefix_i - i·mean (a float), both engines compute
+    the mean-cleared statistic scaled by n_buckets,
+    ``n·prefix_i - i·total`` — pure BIGINT arithmetic, same argmax, zero
+    float-hash risk.
+
+    Scale: one map-side-combinable hourly aggregation of the raw scan
+    (the only pass over the data); every window after that runs on the
+    O(hours × types) aggregate — a few thousand rows at ANY corpus size,
+    partitioned by event_type so no single-partition global sort exists.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("c"))
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("h")
+    s = hourly.select(
+        "event_type",
+        "h",
+        (
+            F.count("*").over(wt).cast("long")
+            * F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+            - F.row_number().over(wo).cast("long") * F.sum("c").over(wt)
+        )
+        .cast("long")
+        .alias("cusum_scaled"),
+        F.count("*").over(wt).cast("long").alias("n_buckets"),
+        F.sum("c").over(wt).cast("long").alias("total_events"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), "h"
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("h").alias("change_hour"),
+            "cusum_scaled",
+            "n_buckets",
+            "total_events",
+        )
+        .orderBy("event_type")
+    )
