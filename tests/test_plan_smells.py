@@ -59,6 +59,10 @@ BNLJ_OK = {
     "text_heavyhitters_twopass",
     # three 1-row count frames stitched by cross joins (recall audit)
     "eval_lsh_candidate_recall",
+    # same three-1-row-count stitch + inherits the bruteforce truth scan
+    "eval_rp_lsh_recall",
+    # 1-row corpus-max-timestamp fan-out onto the O(users) RFM aggregate
+    "events_rfm_segments",
     # dense-grid spine cross join (same shape as events_resample_ffill)
     "events_resample_interpolate",
     # 1-row n_docs scalar fanned onto the O(docs)/O(vocab) decile maps

@@ -486,3 +486,124 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@register(
+    "events_rfm_segments",
+    """
+    WITH gmax AS (SELECT CAST(max(ts) AS DATE) AS mx FROM events),
+    per_user AS (
+      SELECT user_id,
+             date_diff('day', CAST(max(ts) AS DATE), (SELECT mx FROM gmax))
+               AS rec_days,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS monetary_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id, CAST(rec_days AS BIGINT) AS rec_days, freq, monetary_cents,
+             CASE WHEN rec_days <= 1 THEN 5 WHEN rec_days <= 3 THEN 4
+                  WHEN rec_days <= 5 THEN 3 WHEN rec_days <= 8 THEN 2
+                  ELSE 1 END AS r_score,
+             CASE WHEN freq >= 16 THEN 5 WHEN freq >= 14 THEN 4
+                  WHEN freq >= 12 THEN 3 WHEN freq >= 10 THEN 2
+                  ELSE 1 END AS f_score,
+             CASE WHEN monetary_cents >= 85000 THEN 5
+                  WHEN monetary_cents >= 65000 THEN 4
+                  WHEN monetary_cents >= 55000 THEN 3
+                  WHEN monetary_cents >= 45000 THEN 2
+                  ELSE 1 END AS m_score
+      FROM per_user
+    )
+    SELECT user_id, rec_days, freq, monetary_cents,
+           CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_code,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                  THEN 'champion'
+                WHEN f_score >= 4 THEN 'loyal'
+                WHEN m_score >= 4 THEN 'big_spender'
+                WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                WHEN r_score <= 2 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM scored ORDER BY user_id
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary — the classic
+    customer-value grid) over purchase events. All three metrics are
+    exact integers: recency in whole days from the corpus max timestamp,
+    frequency a count, monetary in cents via DECIMAL — so scores, codes
+    and segments carry zero float risk. Scores band against FIXED cuts
+    (calibrated offline to this corpus's quintiles) rather than global
+    ntile: a global ntile is a single-partition window at scale, while
+    fixed-cut banding is a map-only expression; production recalibrates
+    cuts from the `agg_quantiles_exact_multi` histogram two-pass (O(1)
+    driver state), keeping scoring itself embarrassingly parallel.
+
+    Scale: one filtered scan + one map-side-combinable user aggregation;
+    the corpus-max timestamp is a 1-row aggregate joined broadcast-style;
+    everything after is per-row CASE logic in codegen.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase")
+    mx = ev.agg(F.to_date(F.max("ts")).alias("mx"))
+    per_user = purch.groupBy("user_id").agg(
+        F.to_date(F.max("ts")).alias("last_d"),
+        F.count("*").cast("long").alias("freq"),
+        (F.sum(dec("value")) * 100).cast("long").alias("monetary_cents"),
+    )
+    pu = per_user.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.datediff("mx", "last_d").cast("long").alias("rec_days"),
+        "freq",
+        "monetary_cents",
+    )
+    r_score = (
+        F.when(F.col("rec_days") <= 1, 5)
+        .when(F.col("rec_days") <= 3, 4)
+        .when(F.col("rec_days") <= 5, 3)
+        .when(F.col("rec_days") <= 8, 2)
+        .otherwise(1)
+    )
+    f_score = (
+        F.when(F.col("freq") >= 16, 5)
+        .when(F.col("freq") >= 14, 4)
+        .when(F.col("freq") >= 12, 3)
+        .when(F.col("freq") >= 10, 2)
+        .otherwise(1)
+    )
+    m_score = (
+        F.when(F.col("monetary_cents") >= 85000, 5)
+        .when(F.col("monetary_cents") >= 65000, 4)
+        .when(F.col("monetary_cents") >= 55000, 3)
+        .when(F.col("monetary_cents") >= 45000, 2)
+        .otherwise(1)
+    )
+    scored = pu.select(
+        "user_id",
+        "rec_days",
+        "freq",
+        "monetary_cents",
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+    )
+    return scored.select(
+        "user_id",
+        "rec_days",
+        "freq",
+        "monetary_cents",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("long")
+        .alias("rfm_code"),
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when(F.col("f_score") >= 4, "loyal")
+        .when(F.col("m_score") >= 4, "big_spender")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when(F.col("r_score") <= 2, "hibernating")
+        .otherwise("regular")
+        .alias("segment"),
+    ).orderBy("user_id")

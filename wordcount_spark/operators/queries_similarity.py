@@ -804,3 +804,174 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("var_val"),
     ).orderBy("dim")
+
+
+@register(
+    "similarity_maxsim_multivector",
+    f"""
+    WITH corpus AS (
+      SELECT vec_id, label, embedding FROM embeddings WHERE vec_id >= 3
+    ),
+    scored AS (
+      SELECT b.label, a.vec_id AS qid,
+             {_DOT_SQL} / ({_NORM_SQL.format(v="a.embedding")}
+                           * {_NORM_SQL.format(v="b.embedding")}) AS cs
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) a
+      CROSS JOIN corpus b
+    ),
+    m AS (
+      SELECT label,
+             max(cs) FILTER (WHERE qid = 0) AS m0,
+             max(cs) FILTER (WHERE qid = 1) AS m1,
+             max(cs) FILTER (WHERE qid = 2) AS m2
+      FROM scored GROUP BY label
+    )
+    SELECT label, (m0 + m1) + m2 AS maxsim_score
+    FROM m ORDER BY maxsim_score DESC, label LIMIT 5
+    """,
+)
+def similarity_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MaxSim late interaction (Khattab & Zaharia 2020):
+    the query is a SET of vectors (3 probes), each document is a SET (its
+    label group), and score(doc) = Σ over query vectors of the max cosine
+    against any document vector. Spark-first: the 3 query vectors are
+    collected once (O(k) driver state, same as `similarity_multiquery_topk`)
+    and inlined as LITERAL arrays, so scoring is three sequential-fold
+    cosine expressions per corpus row — NO join anywhere, the corpus is
+    scanned once. Per-label maxes are order-independent; the final sum is
+    the fixed expression (m0 + m1) + m2 on both engines, so the
+    float-derived score hash-matches exactly.
+
+    Scale: map-only scoring in codegen + one map-side-combinable
+    aggregation on label. A real multi-vector corpus keys documents by
+    id; the query-set matrix broadcasts (Arrow matmul prune as in the
+    multiquery op) and MaxSim stays one scan + one agg at any size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    cs_cols = []
+    for i, r in enumerate(qrows):
+        qlit = F.array(*[F.lit(float(x)) for x in r.embedding])
+        cs_cols.append(cosine(F.col("embedding"), qlit).alias(f"cs{i}"))
+    scored = corpus.select("label", *cs_cols)
+    m = scored.groupBy("label").agg(
+        *[F.max(f"cs{i}").alias(f"m{i}") for i in range(3)]
+    )
+    return (
+        m.select(
+            "label",
+            ((F.col("m0") + F.col("m1")) + F.col("m2")).alias("maxsim_score"),
+        )
+        .orderBy(F.desc("maxsim_score"), "label")
+        .limit(5)
+    )
+
+
+def _band_sql(n_planes: int, band: int, rows: int) -> str:
+    """DuckDB: 4-bit band string of the rp signature (1-based slice)."""
+    return (
+        f"array_to_string(list_slice({_rp_sig_sql(n_planes, 64)}, "
+        f"{band * rows + 1}, {band * rows + rows}), '')"
+    )
+
+
+@register(
+    "eval_rp_lsh_recall",
+    f"""
+    WITH truth AS (
+      SELECT b.vec_id,
+             {_DOT_SQL} / ({_NORM_SQL.format(v="a.embedding")}
+                           * {_NORM_SQL.format(v="b.embedding")}) AS cos_sim
+      FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) a
+      CROSS JOIN embeddings b
+      WHERE b.vec_id <> 0
+      ORDER BY cos_sim DESC, vec_id LIMIT 10
+    ),
+    bands AS (
+      SELECT vec_id,
+             {", ".join(f"{_band_sql(16, b, 4)} AS b{b}" for b in range(4))}
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM bands WHERE vec_id = 0),
+    cand AS (
+      SELECT c.vec_id
+      FROM bands c, q
+      WHERE c.vec_id <> 0
+        AND (c.b0 = q.b0 OR c.b1 = q.b1 OR c.b2 = q.b2 OR c.b3 = q.b3)
+    ),
+    caught AS (
+      SELECT vec_id FROM truth WHERE vec_id IN (SELECT vec_id FROM cand)
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM cand) AS n_candidates,
+           (SELECT count(*) FROM caught) AS n_caught,
+           CAST((SELECT count(*) FROM caught) AS DOUBLE)
+             / (SELECT count(*) FROM truth) AS recall
+    """,
+)
+def eval_rp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of banded sign-LSH against exact cosine ground truth:
+    do the top-10 true neighbors of query 0 land in its candidate set
+    when 16 hyperplanes split into 4 bands of 4 bits (candidate = shares
+    ANY band value)? The vector-side twin of `eval_lsh_candidate_recall`
+    — this measurement is what justifies (planes, bands) before trusting
+    bucketed ANN at corpus scale. Truth side reuses the registered
+    brute-force top-10; the band filter is FOUR literal comparisons (the
+    query's band values collect as O(1) driver scalars), so candidate
+    generation is a map-only scan, no join.
+
+    Scale: signature+bands are a pure map stage; at production size the
+    candidate join is an equi-join on (band_id, value) — here the audit
+    counts survivors. Final stitch is three 1-row aggregates crossed
+    (allowlisted BNLJ, same as the LSH recall audit).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _plane_signs(16, 64)
+
+    def dot_sign(row: list[int]) -> Column:
+        pos = [
+            F.element_at("embedding", i + 1).cast("double")
+            for i, s in enumerate(row)
+            if s == 1
+        ]
+        neg = [
+            F.element_at("embedding", i + 1).cast("double")
+            for i, s in enumerate(row)
+            if s == -1
+        ]
+        pos_sum = sum(pos[1:], pos[0])
+        dot = pos_sum - sum(neg[1:], neg[0]) if neg else pos_sum
+        return F.when(dot > 0, F.lit("1")).otherwise(F.lit("0"))
+
+    band_cols = [
+        F.concat(*[dot_sign(planes[b * 4 + j]) for j in range(4)]).alias(f"b{b}")
+        for b in range(4)
+    ]
+    bands = emb.select("vec_id", *band_cols)
+    qvals = bands.filter(F.col("vec_id") == 0).first()
+    cand = bands.filter(
+        (F.col("vec_id") != 0)
+        & (
+            (F.col("b0") == qvals["b0"])
+            | (F.col("b1") == qvals["b1"])
+            | (F.col("b2") == qvals["b2"])
+            | (F.col("b3") == qvals["b3"])
+        )
+    ).select("vec_id")
+    truth = similarity_topk_bruteforce(spark, sf_dir).select("vec_id")
+    caught = truth.join(cand, "vec_id", "left_semi")
+    return (
+        truth.agg(F.count("*").alias("n_truth"))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(caught.agg(F.count("*").alias("n_caught")))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_caught",
+            (F.col("n_caught").cast("double") / F.col("n_truth")).alias("recall"),
+        )
+    )

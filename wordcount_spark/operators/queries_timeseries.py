@@ -675,3 +675,79 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_sliding_distinct_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ),
+    span AS (
+      SELECT unnest(generate_series(date_trunc('day', min(ts)),
+                                    date_trunc('day', max(ts)),
+                                    INTERVAL 1 DAY)) AS day
+      FROM events
+    ),
+    cover AS (
+      SELECT user_id,
+             unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS day
+      FROM ud
+    ),
+    cnt AS (
+      SELECT day, count(DISTINCT user_id) AS u FROM cover GROUP BY day
+    )
+    SELECT s.day, CAST(coalesce(c.u, 0) AS BIGINT) AS n_users_7d
+    FROM span s LEFT JOIN cnt c USING (day)
+    ORDER BY s.day
+    """,
+)
+def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the DAU/WAU-class
+    metric that naive SQL cannot window (COUNT(DISTINCT) over a sliding
+    RANGE frame is unsupported in both engines, and would be wrong to
+    approximate by summing daily distincts). Spark-first rewrite: dedup
+    to (user, active-day) once, then each active day COVERS the 7 report
+    days it contributes to (a 7-row explode — the classic
+    "scatter-to-windows" trick), so the sliding distinct collapses to a
+    plain per-day COUNT(DISTINCT) on the covered frame.
+
+    Scale: the (user, day) dedup is the only pass over raw data
+    (map-side combinable); the covered frame is 7 × O(users × active
+    days) NARROW rows — linear, no self-join, no per-day rescan. The
+    day spine is O(span) rows derived from a 1-row min/max aggregate.
+    At 100 TB the same shape holds; for 90-day windows use the
+    month-chunked variant (cover by month, merge partial HLLs or exact
+    sets per chunk) — documented fallback, not needed at window=7.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    span = (
+        ev.agg(
+            F.date_trunc("day", F.min("ts")).alias("lo"),
+            F.date_trunc("day", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("day")
+        )
+    )
+    cover = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                "d", F.col("d") + F.expr("INTERVAL 6 DAY"), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("day"),
+    )
+    cnt = cover.groupBy("day").agg(
+        F.count_distinct("user_id").alias("u")
+    )
+    return (
+        span.join(cnt, "day", "left")
+        .select("day", F.coalesce("u", F.lit(0)).cast("long").alias("n_users_7d"))
+        .orderBy("day")
+    )
