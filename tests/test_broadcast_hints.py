@@ -36,6 +36,7 @@ ALLOWED: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/queries_llmprep.py", "mix_epoch_repeats"): (2, "1-row max scalar + O(sources) weight table"),
     ("operators/queries_llmprep.py", "mix_temperature_weights"): (1, "1-row normalization scalar"),
     ("operators/queries_llmprep.py", "curriculum_quality_buckets"): (1, "1-row percentile-cuts scalar"),
+    ("operators/queries_analytic_extra.py", "events_rfm_segments"): (1, "1-row corpus-max-timestamp scalar"),
     ("operators/queries_relational.py", "join_broadcast_dims"): (2, "nation(25)/region(5): fixed enumerations"),
     ("operators/queries_relational.py", "q5_local_supplier_volume"): (2, "nation(25)/region(5)"),
     ("operators/queries_relational.py", "dq_referential_audit"): (1, "nation(25)"),

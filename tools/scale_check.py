@@ -213,6 +213,33 @@ def pipelines():
             .agg(F.count("*").alias("n_pairs"), F.sum("n").alias("total"))
         )
 
+    def line_dedup(df):
+        # text_line_dedup_c4 shape: positional 15-token lines hashed,
+        # one min-owner aggregation + one join back — exact dedup on the
+        # line grain; growth should track the line count (O(tokens/15))
+        toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+        nl = F.floor((F.size(toks) + F.lit(14)) / F.lit(15)).cast("long")
+        lines = df.where(F.size(toks) > 0).select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0).cast("long"), nl - 1),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(toks, (i * 15 + 1).cast("int"), 15), " ")
+                    ),
+                )
+            ).alias("line_h"),
+        )
+        own = lines.groupBy("line_h").agg(F.min("doc_id").alias("keeper"))
+        return (
+            lines.join(own, "line_h")
+            .groupBy()
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.count_if(F.col("doc_id") != F.col("keeper")).alias("n_removed"),
+            )
+        )
+
     return {
         "wordcount": wc,
         "minhash_lsh": lsh,
@@ -222,6 +249,7 @@ def pipelines():
         "bm25_topk": bm25,
         "heavyhitters": heavyhitters,
         "skipgram": skipgram,
+        "line_dedup": line_dedup,
     }
 
 

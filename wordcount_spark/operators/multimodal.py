@@ -627,3 +627,77 @@ def decimate_wav_features(wav_df: DataFrame, factor: int) -> DataFrame:
         schema="doc_id long, out_rate long, n_out long, "
         "sum_abs long, sum_sq long, first_val long, last_val long",
     )
+
+
+#: aHash dedup synth parameters: 32x32 images, 50 visual classes, 3
+#: brightness offsets per class. Pixel base is mod 253 so the +offset
+#: (0..2) never wraps 255 — integer brightness invariance of the hash
+#: depends on no wraparound.
+AHASH_SEEDS = 50
+AHASH_SIDE = 32
+
+
+def synth_pgm_payload_seeded(docs: DataFrame) -> DataFrame:
+    """doc_id → a VALID binary 32x32 PGM whose pixels are
+    ``(seed*7919 + i*104729) % 253 + (doc_id % 3)`` with
+    ``seed = doc_id % 50``: 50 visual classes, each appearing at 3
+    brightness offsets — near-duplicates an exact byte hash cannot group
+    but a perceptual hash must."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = AHASH_SIDE * AHASH_SIDE
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                seed, off = d % AHASH_SEEDS, d % 3
+                pix = (
+                    (seed * PGM_PIX_A + np.arange(n, dtype=np.int64) * PGM_PIX_B)
+                    % 253
+                    + off
+                ).astype(np.uint8)
+                payloads.append(
+                    f"P5\n{AHASH_SIDE} {AHASH_SIDE}\n255\n".encode() + pix.tobytes()
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def ahash_pgm(pgm_df: DataFrame) -> DataFrame:
+    """REAL perceptual hash: parse the P5 payload, 8x8 block-mean
+    downsample with INTEGER floor division, threshold each block mean
+    against the floor-mean of the 64 block means → a 64-char bit string.
+    All-integer, so the oracle can replay the exact hash in SQL, and a
+    constant brightness shift provably cancels (block sums shift by 16c,
+    the global mean by c — floor division is exact because 16c and 64·16c
+    divide evenly)."""
+    import numpy as np
+
+    def hsh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "img_hash": [], "sum_pixels": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                magic, dims, rest = buf.split(b"\n", 2)
+                if magic != b"P5":
+                    raise ValueError(f"not a P5 PGM: {magic!r}")
+                w, h = (int(x) for x in dims.split())
+                maxval, pixbytes = rest.split(b"\n", 1)
+                if int(maxval) != 255 or len(pixbytes) != w * h or w % 8 or h % 8:
+                    raise ValueError("corrupt or non-8-divisible PGM payload")
+                pix = np.frombuffer(pixbytes, dtype=np.uint8).astype(np.int64)
+                img = pix.reshape(h, w)
+                bh, bw = h // 8, w // 8
+                bms = img.reshape(8, bh, 8, bw).sum(axis=(1, 3)) // (bh * bw)
+                gm = int(bms.sum()) // 64
+                bits = (bms >= gm).astype(np.int64).ravel()
+                out["doc_id"].append(doc_id)
+                out["img_hash"].append("".join(str(int(b)) for b in bits))
+                out["sum_pixels"].append(int(pix.sum()))
+            yield pd.DataFrame(out)
+
+    return pgm_df.mapInPandas(
+        hsh, schema="doc_id long, img_hash string, sum_pixels long"
+    )

@@ -1165,3 +1165,149 @@ def _register_dsir():
 
 
 _register_dsir()
+
+
+@register(
+    "llm_sft_pairs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter({_TOKS_SQL}, x -> x <> '') AS toks
+      FROM documents
+    ),
+    eligible AS (SELECT * FROM t WHERE len(toks) > 40),
+    pairs AS (
+      SELECT doc_id, lang,
+             'Summarize: ' || array_to_string(list_slice(toks, 1, 20), ' ')
+               AS prompt,
+             array_to_string(list_slice(toks, 21, len(toks)), ' ') AS response
+      FROM eligible
+    )
+    SELECT doc_id, lang,
+           CAST(20 AS BIGINT) AS n_prompt_tokens,
+           CAST(len(string_split(response, ' ')) AS BIGINT) AS n_response_tokens,
+           CAST(length('<|system|>You are a helpful assistant.<|user|>'
+                       || prompt || '<|assistant|>' || response || '<|end|>')
+                AS BIGINT) AS rendered_chars,
+           md5('<|system|>You are a helpful assistant.<|user|>'
+               || prompt || '<|assistant|>' || response || '<|end|>')
+             AS rendered_hash
+    FROM pairs ORDER BY doc_id
+    """,
+)
+def llm_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT pair construction + chat-template rendering: each document
+    becomes an (instruction, response) example — prompt = a task prefix
+    plus the first 20 tokens, response = the remainder — then renders
+    through a fixed special-token chat template (the
+    system/user/assistant framing every instruction-tuned model trains
+    on). Documents too short to split are filtered BEFORE pair
+    construction. The md5 of the rendered string makes the whole
+    template pipeline differentially checkable without hashing megabytes
+    of text through the driver compare.
+
+    Scale: map-only (split, slice, concat, hash in codegen) — no
+    shuffle but the output sort; at 100 TB this is the shape of every
+    template-rendering pass before tokenization, and it parallelizes
+    per-row perfectly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    eligible = docs.where(F.size(toks) > 40).select("doc_id", "lang", toks.alias("tk"))
+    tmpl_prefix = "<|system|>You are a helpful assistant.<|user|>"
+    pairs = eligible.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit("Summarize: "), F.array_join(F.slice("tk", 1, 20), " ")
+        ).alias("prompt"),
+        F.array_join(F.expr("slice(tk, 21, size(tk) - 20)"), " ").alias("response"),
+    )
+    rendered = F.concat(
+        F.lit(tmpl_prefix),
+        F.col("prompt"),
+        F.lit("<|assistant|>"),
+        F.col("response"),
+        F.lit("<|end|>"),
+    )
+    return pairs.select(
+        "doc_id",
+        "lang",
+        F.lit(20).cast("long").alias("n_prompt_tokens"),
+        F.size(F.split("response", " ")).cast("long").alias("n_response_tokens"),
+        F.length(rendered).cast("long").alias("rendered_chars"),
+        F.md5(rendered).alias("rendered_hash"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "llm_preference_pairs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, list_filter({_TOKS_SQL}, x -> x <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang,
+             CAST(len(list_distinct(toks)) * 1000000 // len(toks) AS BIGINT)
+               AS div_ppm
+      FROM t WHERE len(toks) > 0
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY div_ppm DESC, doc_id) AS rn
+      FROM m
+    )
+    SELECT a.lang, CAST((a.rn + 1) // 2 AS BIGINT) AS pair_id,
+           a.doc_id AS chosen_doc, b.doc_id AS rejected_doc,
+           CAST(a.div_ppm - b.div_ppm AS BIGINT) AS margin_ppm
+    FROM r a JOIN r b ON a.lang = b.lang AND b.rn = a.rn + 1 AND a.rn % 2 = 1
+    ORDER BY a.lang, pair_id
+    """,
+)
+def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining (the DPO/RLHF data shape): within each
+    language, documents rank by a quality signal — token diversity in
+    integer parts-per-million, distinct·1e6 div total, zero float risk —
+    and adjacent ranks pair off as (chosen, rejected) with their quality
+    margin. Margin-thresholding downstream keeps only confident pairs;
+    the ppm margin is exact so the threshold never flips between
+    engines.
+
+    Scale: one tokenize+measure map pass, one lang-keyed window rank,
+    and the pairing self-join reuses the SAME lang-keyed partitioning
+    (rn and rn+1 are co-located) — effectively one exchange end to end.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    m = docs.where(F.size(toks) > 0).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CAST(size(array_distinct(filter(split(text, '\\\\s+'), "
+            "x -> x != ''))) * 1000000 div "
+            "size(filter(split(text, '\\\\s+'), x -> x != '')) AS BIGINT)"
+        ).alias("div_ppm"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("div_ppm"), "doc_id")
+    r = m.withColumn("rn", F.row_number().over(w))
+    a = r.alias("a")
+    b = r.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("b.rn") == F.col("a.rn") + 1)
+            & (F.col("a.rn") % 2 == 1),
+        )
+        .select(
+            F.col("a.lang").alias("lang"),
+            F.expr("CAST((a.rn + 1) div 2 AS BIGINT)").alias("pair_id"),
+            F.col("a.doc_id").alias("chosen_doc"),
+            F.col("b.doc_id").alias("rejected_doc"),
+            (F.col("a.div_ppm") - F.col("b.div_ppm")).cast("long").alias("margin_ppm"),
+        )
+        .orderBy("lang", "pair_id")
+    )

@@ -450,3 +450,78 @@ def multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decimate_wav_features(synth_wav_payload(docs), 4).orderBy("doc_id")
+
+
+@register(
+    "multimodal_image_dedup_ahash",
+    """
+    WITH base AS (
+      SELECT doc_id, doc_id % 50 AS seed, doc_id % 3 AS off FROM documents
+    ),
+    hx AS (
+      SELECT doc_id,
+             list_transform(range(64), b ->
+               list_sum(list_transform(range(16), k ->
+                 (seed * 7919
+                  + (((b // 8) * 4 + k // 4) * 32 + (b % 8) * 4 + k % 4)
+                    * 104729) % 253 + off)) // 16) AS bms,
+             list_sum(list_transform(range(1024),
+                      i -> (seed * 7919 + i * 104729) % 253 + off)) AS sum_pixels
+      FROM base
+    ),
+    sig AS (
+      SELECT doc_id, sum_pixels,
+             array_to_string(
+               list_transform(bms,
+                 m -> CASE WHEN m >= list_sum(bms) // 64 THEN '1' ELSE '0' END),
+               '') AS img_hash
+      FROM hx
+    )
+    SELECT img_hash,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(count(DISTINCT sum_pixels) AS BIGINT) AS n_exact_variants,
+           min(doc_id) AS first_doc
+    FROM sig GROUP BY img_hash ORDER BY img_hash
+    """,
+)
+def multimodal_image_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup via average-hash (aHash): REAL binary PGM
+    payloads (50 visual classes × 3 brightness offsets, synthesized
+    through Arrow exactly like `multimodal_decode_image`) are parsed,
+    8×8 block-mean downsampled with INTEGER floor division, and
+    thresholded against the mean of means into a 64-bit fingerprint.
+    Brightness-shifted copies hash identically (the shift provably
+    cancels in integer math — see `operators/multimodal.ahash_pgm`), so
+    every hash group here contains near-duplicates exact byte hashing
+    CANNOT group: `n_exact_variants` > 1 per group is the demonstrated
+    gap between content-hash dedup and perceptual dedup. The oracle
+    replays the entire synth→downsample→threshold pipeline in integer
+    SQL, so the decode UDF's parsing, reshaping and hashing are all
+    differentially checked.
+
+    Scale: synth+hash are narrow mapInPandas stages (no shuffle); the
+    dedup itself is one map-side-combinable aggregation on the 64-char
+    hash — exact-dedup cost on a perceptual key. Production swaps the
+    synth stage for the object-store scan and aHash for pHash/DCT in the
+    same UDF signature; near-threshold matching (Hamming ≤ k on the
+    fingerprint) reuses `similarity_binary_hamming_topk`'s packed-long
+    popcount path.
+    """
+    from pyspark.sql import functions as F
+
+    from wordcount_spark.operators.multimodal import (
+        ahash_pgm,
+        synth_pgm_payload_seeded,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = ahash_pgm(synth_pgm_payload_seeded(docs))
+    return (
+        sig.groupBy("img_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.count_distinct("sum_pixels").cast("long").alias("n_exact_variants"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("img_hash")
+    )

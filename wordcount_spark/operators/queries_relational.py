@@ -1522,3 +1522,89 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("group_size") < 5)
         .orderBy("c_nationkey", "c_mktsegment", "acctbal_band")
     )
+
+
+@register(
+    "dq_schema_drift_audit",
+    """
+    WITH tagged AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END AS half,
+             user_id, value, props
+      FROM events
+    ),
+    prof AS (
+      SELECT event_type, half,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT) AS null_values,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
+      FROM tagged GROUP BY event_type, half
+    )
+    SELECT a.event_type,
+           a.n AS n_a, b.n AS n_b,
+           a.null_values AS nulls_a, b.null_values AS nulls_b,
+           a.n_users AS users_a, b.n_users AS users_b,
+           a.value_cents AS cents_a, b.value_cents AS cents_b,
+           CAST(abs(a.n - b.n) * 100 // greatest(a.n, 1) AS BIGINT)
+             AS volume_drift_pct,
+           CAST(abs(a.n_users - b.n_users) * 100 // greatest(a.n_users, 1)
+                AS BIGINT) AS user_drift_pct
+    FROM (SELECT * FROM prof WHERE half = 'a') a
+    JOIN (SELECT * FROM prof WHERE half = 'b') b USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def dq_schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract drift audit: profile each event type in two
+    consecutive snapshot windows (the mid-month cutoff the cdc_* queries
+    use) and report volume / null-rate / user-cardinality / value-mass
+    drift — the monitoring query a pipeline runs before trusting a new
+    data drop. Every metric is an exact integer (counts, distinct
+    counts, DECIMAL cents); drift percentages are integer floor-division
+    so the alert thresholds carry zero float risk.
+
+    Scale: ONE scan builds both profiles (the window tag is a map-side
+    CASE, the profile a map-side-combinable aggregate on (type, half));
+    the final join touches O(types) rows. At 100 TB this is strictly
+    cheaper than two separate profiling passes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    tagged = ev.select(
+        "event_type",
+        F.when(F.col("ts") < cut, "a").otherwise("b").alias("half"),
+        "user_id",
+        "value",
+    )
+    prof = tagged.groupBy("event_type", "half").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_if(F.col("value").isNull()).cast("long").alias("null_values"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        (F.sum(dec("value")) * 100).cast("long").alias("value_cents"),
+    )
+    a = prof.filter(F.col("half") == "a").alias("a")
+    b = prof.filter(F.col("half") == "b").alias("b")
+    return (
+        a.join(b, F.col("a.event_type") == F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.col("a.null_values").alias("nulls_a"),
+            F.col("b.null_values").alias("nulls_b"),
+            F.col("a.n_users").alias("users_a"),
+            F.col("b.n_users").alias("users_b"),
+            F.col("a.value_cents").alias("cents_a"),
+            F.col("b.value_cents").alias("cents_b"),
+            # integer `div`, never floor(double division): a quotient one
+            # ulp below an integer would floor differently per engine
+            F.expr("(abs(a.n - b.n) * 100) div greatest(a.n, 1)")
+            .cast("long")
+            .alias("volume_drift_pct"),
+            F.expr("(abs(a.n_users - b.n_users) * 100) div greatest(a.n_users, 1)")
+            .cast("long")
+            .alias("user_drift_pct"),
+        )
+        .orderBy("event_type")
+    )

@@ -975,3 +975,90 @@ def eval_rp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_caught").cast("double") / F.col("n_truth")).alias("recall"),
         )
     )
+
+
+_D2_SQL = (
+    "list_sum(list_transform(range(1, 65), i -> "
+    "(CAST({a}.embedding[i] AS DOUBLE) - CAST({b}.embedding[i] AS DOUBLE)) * "
+    "(CAST({a}.embedding[i] AS DOUBLE) - CAST({b}.embedding[i] AS DOUBLE))))"
+)
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled greedy farthest-point (k-center) selection in SQL: round r
+    keeps each vector's running min squared distance to the selected set
+    and picks the argmax (ties → min vec_id)."""
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding FROM embeddings)",
+        "s1 AS (SELECT vec_id, embedding FROM e WHERE vec_id = 0)",
+        f"d1 AS (SELECT e.vec_id, e.embedding, {_D2_SQL.format(a='e', b='s')} AS dmin"
+        "  FROM e, s1 s WHERE e.vec_id <> 0)",
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"s{r} AS (SELECT vec_id, embedding, dmin FROM d{r - 1} "
+            f"ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+        if r < k:
+            parts.append(
+                f"d{r} AS (SELECT d.vec_id, d.embedding, "
+                f"least(d.dmin, {_D2_SQL.format(a='d', b='s')}) AS dmin "
+                f"FROM d{r - 1} d, s{r} s WHERE d.vec_id <> s.vec_id)"
+            )
+    selects = ["SELECT 1 AS round, vec_id, 0.0 AS radius_sq FROM s1"] + [
+        f"SELECT {r} AS round, vec_id, dmin AS radius_sq FROM s{r}"
+        for r in range(2, k + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects) + "\nORDER BY round"
+
+
+@register("sample_kcenter_coreset", _kcenter_oracle(4), eager=True)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection over the
+    embedding corpus — the diversity-sampling primitive of active
+    learning and data-selection pipelines (pick the point farthest from
+    everything chosen so far; the selection 2-approximates the optimal
+    k-center cover). k=4 rounds, seeded at vec_id 0, ties to the lower
+    id. EAGER: each round collects exactly ONE row (the new center) —
+    O(k) driver state, like the k-means trainer — while every distance
+    computation stays distributed. The oracle unrolls all four rounds in
+    SQL; squared distances are the same sequential double folds both
+    engines run, so even the float radii hash-match.
+
+    Scale: k full scans of the corpus with a min-update against ≤ k
+    broadcast centers (each a 64-float literal) — O(k·N) work, no
+    shuffle at all; the classic trade against k-means (which must also
+    shuffle per-cluster sums).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def d2(col: Column, centre: list[float]) -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in centre])
+        return F.aggregate(
+            F.zip_with(
+                col,
+                lit,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    first = emb.filter(F.col("vec_id") == 0).first()
+    selected = [(1, int(first["vec_id"]), 0.0)]
+    centre = [float(x) for x in first["embedding"]]
+    pool = emb.filter(F.col("vec_id") != 0).withColumn(
+        "dmin", d2(F.col("embedding"), centre)
+    )
+    for r in range(2, 5):
+        top = pool.orderBy(F.desc("dmin"), "vec_id").first()
+        selected.append((r, int(top["vec_id"]), float(top["dmin"])))
+        centre = [float(x) for x in top["embedding"]]
+        if r < 4:
+            pool = pool.filter(F.col("vec_id") != int(top["vec_id"])).withColumn(
+                "dmin", F.least(F.col("dmin"), d2(F.col("embedding"), centre))
+            )
+    return spark.createDataFrame(
+        selected, "round int, vec_id long, radius_sq double"
+    ).orderBy("round")

@@ -751,3 +751,83 @@ def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("day", F.coalesce("u", F.lit(0)).cast("long").alias("n_users_7d"))
         .orderBy("day")
     )
+
+
+@register(
+    "events_forecast_seasonal_naive",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    labeled AS (
+      SELECT event_type, h, c, extract(hour FROM h) AS hod,
+             CASE WHEN h < TIMESTAMP '2024-01-26' THEN 1 ELSE 0 END AS is_train
+      FROM hourly
+    ),
+    train AS (
+      SELECT event_type, hod,
+             CAST(sum(c) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_buckets
+      FROM labeled WHERE is_train = 1 GROUP BY 1, 2
+    )
+    SELECT t.event_type, CAST(t.hod AS BIGINT) AS hod,
+           CAST(count(*) AS BIGINT) AS n_test_buckets,
+           CAST(tr.total // tr.n_buckets AS BIGINT) AS forecast,
+           CAST(sum(abs(t.c - tr.total // tr.n_buckets)) AS BIGINT) AS sum_abs_err
+    FROM (SELECT * FROM labeled WHERE is_train = 0) t
+    JOIN train tr USING (event_type, hod)
+    GROUP BY t.event_type, t.hod, tr.total, tr.n_buckets
+    ORDER BY event_type, hod
+    """,
+)
+def events_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast + backtest: train on the first 25 days,
+    forecast each (event type, hour-of-day) as the integer mean of its
+    observed train buckets, score on the holdout tail with summed
+    absolute error — the baseline every fancier forecaster must beat,
+    and the backtest harness shape (train/test split by TIME, never
+    random). Forecast and error are pure integers (floor-division mean),
+    so the whole evaluation is engine-exact.
+
+    Scale: one map-side-combinable hourly aggregation is the only raw
+    pass; train profile and test scoring run on the O(hours × types)
+    aggregate, joined on (type, hod) — a 24×5-row broadcast in practice.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("c"))
+    labeled = hourly.select(
+        "event_type",
+        "h",
+        "c",
+        F.hour("h").cast("long").alias("hod"),
+        (F.col("h") < F.lit("2024-01-26").cast("timestamp")).alias("is_train"),
+    )
+    train = (
+        labeled.filter("is_train")
+        .groupBy("event_type", "hod")
+        .agg(
+            F.sum("c").cast("long").alias("total"),
+            F.count("*").cast("long").alias("n_buckets"),
+        )
+    )
+    test = labeled.filter(~F.col("is_train"))
+    fc = F.expr("total div n_buckets")
+    return (
+        test.join(train, ["event_type", "hod"])
+        .groupBy("event_type", "hod", "total", "n_buckets")
+        .agg(
+            F.count("*").cast("long").alias("n_test_buckets"),
+            F.sum(F.abs(F.col("c") - fc)).cast("long").alias("sum_abs_err"),
+        )
+        .select(
+            "event_type",
+            "hod",
+            "n_test_buckets",
+            fc.cast("long").alias("forecast"),
+            "sum_abs_err",
+        )
+        .orderBy("event_type", "hod")
+    )

@@ -723,3 +723,146 @@ def events_anomaly_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "events_user_streaks",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id,
+             date_diff('day', DATE '2024-01-01', d)
+               - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      FROM ud
+    ),
+    streaks AS (
+      SELECT user_id, grp, count(*) AS len FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS active_days
+    FROM streaks GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-day activity streaks per user (the
+    engagement metric behind every "7-day streak" feature, and the
+    canonical interview-hard SQL shape). The island key is the classic
+    identity — day-number minus row-number is CONSTANT exactly while
+    days are consecutive — so streak detection needs no self-join and no
+    iteration: one per-user window, one count per (user, anchor) island.
+
+    Scale: dedup to (user, day) is the only raw-data pass; the window
+    and both aggregations run per-user on O(active days) rows sharing
+    ONE user-keyed exchange. Day arithmetic is all integer (epoch-day
+    minus rank), so results are engine-exact; output carries no DATE
+    columns.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = ud.select(
+        "user_id",
+        (
+            F.datediff("d", F.lit("2024-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_streaks"),
+            F.max("len").cast("long").alias("longest_streak"),
+            F.sum("len").cast("long").alias("active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_ltv_cohort",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    rev AS (
+      SELECT e.user_id, f.cohort,
+             date_diff('day', CAST(f.cohort AS DATE),
+                       CAST(date_trunc('day', e.ts) AS DATE)) // 7 AS week_idx,
+             CAST(e.value AS DECIMAL(18,2)) AS v
+      FROM events e JOIN first_seen f USING (user_id)
+      WHERE e.event_type = 'purchase'
+    ),
+    g AS (
+      SELECT cohort, CAST(week_idx AS BIGINT) AS week_idx,
+             count(DISTINCT user_id) AS buyers, sum(v) AS rev
+      FROM rev GROUP BY cohort, week_idx
+    )
+    SELECT cohort, week_idx, CAST(buyers AS BIGINT) AS buyers,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY week_idx)
+                AS DOUBLE) AS cum_revenue
+    FROM g ORDER BY cohort, week_idx
+    """,
+)
+def events_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: users cohorted by first-seen week,
+    purchase revenue accumulated by weeks-since-cohort — the (cohort ×
+    age) LTV triangle every growth team reads. Week index is integer
+    floor(day-diff / 7) computed identically in both engines (never
+    engine week-boundary counting); revenue sums are exact DECIMAL
+    internally, cast DOUBLE only at output, and the cumulative sum runs
+    over the O(cohorts × weeks) aggregate, partitioned by cohort.
+
+    Scale: one user-keyed aggregation for first-seen, one join back to
+    the purchase scan (user-keyed shuffle), one (cohort, week) aggregation
+    — all map-side combinable; the window touches only the tiny final
+    matrix.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.floor(
+                F.datediff(F.to_date(F.date_trunc("day", "ts")), F.to_date("cohort"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_idx"),
+            dec("value").alias("v"),
+        )
+    )
+    g = rev.groupBy("cohort", "week_idx").agg(
+        F.count_distinct("user_id").cast("long").alias("buyers"),
+        F.sum("v").alias("rev"),
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("week_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        "cohort",
+        "week_idx",
+        "buyers",
+        dbl("rev").alias("revenue"),
+        F.sum("rev").over(w).cast("double").alias("cum_revenue"),
+    ).orderBy("cohort", "week_idx")
