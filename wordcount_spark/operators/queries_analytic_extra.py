@@ -607,3 +607,74 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("regular")
         .alias("segment"),
     ).orderBy("user_id")
+
+
+@register(
+    "events_ab_test_eval",
+    """
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END
+               AS variant,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS purchases,
+             CAST(coalesce(sum(CAST(value AS DECIMAL(18,2)))
+                           FILTER (WHERE event_type = 'purchase'), 0) * 100
+                  AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    )
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(*) FILTER (WHERE purchases > 0) AS BIGINT) AS n_converted,
+           CAST(count(*) FILTER (WHERE purchases > 0) * 1000000 // count(*)
+                AS BIGINT) AS conv_ppm,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           CAST(sum(cents) // count(*) AS BIGINT) AS rev_per_user_cents
+    FROM assigned GROUP BY variant ORDER BY variant
+    """,
+)
+def events_ab_test_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically bucketed into
+    control/treatment (the id-parity assignment every experimentation
+    platform's hash-bucketing reduces to), per-variant conversion and
+    revenue-per-user — the decision table of an experiment review. Every
+    metric is an exact integer: conversion in ppm and revenue-per-user in
+    cents, both via integer floor division, so a significance gate
+    downstream compares identical numbers on any engine.
+
+    Scale: one map-side-combinable user aggregation (assignment is a
+    projection), one O(2)-row variant aggregation. The user grain frame
+    is the same shape CUPED/stratified variants consume — covariates
+    would be extra columns on the first aggregate, never extra passes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    assigned = ev.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "purchase").cast("long").alias("purchases"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", dec("value"))
+            ),
+            F.lit(0).cast("decimal(18,2)"),
+        ).alias("dec_rev"),
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "control")
+        .otherwise("treatment")
+        .alias("variant"),
+        "purchases",
+        (F.col("dec_rev") * 100).cast("long").alias("cents"),
+    )
+    return (
+        assigned.groupBy("variant")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.count_if(F.col("purchases") > 0).cast("long").alias("n_converted"),
+            F.expr(
+                "CAST(count_if(purchases > 0) * 1000000 div count(*) AS BIGINT)"
+            ).alias("conv_ppm"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.expr("CAST(sum(cents) div count(*) AS BIGINT)").alias(
+                "rev_per_user_cents"
+            ),
+        )
+        .orderBy("variant")
+    )

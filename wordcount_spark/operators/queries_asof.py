@@ -282,3 +282,136 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("age_days"),
     ).orderBy("event_id")
+
+
+@register(
+    "asof_join_nearest",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    back AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             r.o_orderkey AS bk, r.o_orderdate AS bd
+      FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts
+    ),
+    fwd AS (
+      SELECT e.event_id, r.o_orderkey AS fk, r.o_orderdate AS fd
+      FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.o_custkey AND r.o_orderdate > e.ts
+    )
+    SELECT b.event_id, b.user_id, b.ts,
+           CASE
+             WHEN b.bk IS NULL AND f.fk IS NULL THEN -1
+             WHEN f.fk IS NULL THEN b.bk
+             WHEN b.bk IS NULL THEN f.fk
+             WHEN date_diff('day', b.bd, CAST(b.ts AS DATE))
+                  <= date_diff('day', CAST(b.ts AS DATE), f.fd) THEN b.bk
+             ELSE f.fk
+           END AS nearest_orderkey,
+           CASE
+             WHEN b.bk IS NULL AND f.fk IS NULL THEN 0
+             WHEN f.fk IS NULL
+               THEN -CAST(date_diff('day', b.bd, CAST(b.ts AS DATE)) AS BIGINT)
+             WHEN b.bk IS NULL
+               THEN CAST(date_diff('day', CAST(b.ts AS DATE), f.fd) AS BIGINT)
+             WHEN date_diff('day', b.bd, CAST(b.ts AS DATE))
+                  <= date_diff('day', CAST(b.ts AS DATE), f.fd)
+               THEN -CAST(date_diff('day', b.bd, CAST(b.ts AS DATE)) AS BIGINT)
+             ELSE CAST(date_diff('day', CAST(b.ts AS DATE), f.fd) AS BIGINT)
+           END AS gap_days
+    FROM back b JOIN fwd f USING (event_id)
+    ORDER BY b.event_id
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (pandas ``merge_asof(direction='nearest')``):
+    each event matches its user's CLOSEST order in either direction,
+    ties to the earlier (backward) side; gap_days is signed (negative =
+    order precedes the event). Spark-first: the forward pass is the
+    backward as-of ON NEGATED EPOCH TIME — one reusable operator gives
+    both directions, each a union + keyed-window carry-forward, so the
+    whole query is two user-keyed exchanges and zero range joins.
+    Sentinels (-1 / 0) keep outputs non-nullable BIGINT.
+
+    Scale: two as-of passes over the same keyed layout (a production
+    implementation fuses them into one window with both a running-last
+    and a reversed running-first); no per-group pandas, no interval
+    explosion, state O(1) per partition.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    back = asof_join(
+        ev,
+        orders,
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"],
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("bk"),
+        F.col("o_orderdate").alias("bd"),
+    )
+    # forward = backward in negated time; "order strictly after the
+    # event" (oracle: o_orderdate > e.ts) becomes -epoch(order) <
+    # -epoch(ts), i.e. the backward helper's inclusive <= on negated
+    # keys would also admit equality — shift the left key by -1 to make
+    # the comparison strict (timestamps are microsecond-grained; order
+    # dates are day-grained, so 1µs never crosses a real boundary)
+    ev_neg = ev.select(
+        "event_id",
+        "user_id",
+        (-(F.unix_micros("ts")) - 1).alias("tneg"),
+    )
+    ord_neg = orders.select(
+        "user_id",
+        (-(F.unix_micros(F.col("o_orderdate").cast("timestamp")))).alias("oneg"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    fwd = asof_join(
+        ev_neg,
+        ord_neg,
+        key="user_id",
+        left_time="tneg",
+        right_time="oneg",
+        payload_cols=["o_orderkey", "o_orderdate"],
+    ).select(
+        "event_id",
+        F.col("o_orderkey").alias("fk"),
+        F.col("o_orderdate").alias("fd"),
+    )
+    j = back.join(fwd, "event_id")
+    bgap = F.datediff(F.to_date("ts"), F.col("bd"))
+    fgap = F.datediff(F.col("fd"), F.to_date("ts"))
+    nearest = (
+        F.when(F.col("bk").isNull() & F.col("fk").isNull(), F.lit(-1))
+        .when(F.col("fk").isNull(), F.col("bk"))
+        .when(F.col("bk").isNull(), F.col("fk"))
+        .when(bgap <= fgap, F.col("bk"))
+        .otherwise(F.col("fk"))
+    )
+    gap = (
+        F.when(F.col("bk").isNull() & F.col("fk").isNull(), F.lit(0))
+        .when(F.col("fk").isNull(), -bgap)
+        .when(F.col("bk").isNull(), fgap)
+        .when(bgap <= fgap, -bgap)
+        .otherwise(fgap)
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        nearest.cast("long").alias("nearest_orderkey"),
+        gap.cast("long").alias("gap_days"),
+    ).orderBy("event_id")

@@ -14,6 +14,7 @@ from __future__ import annotations
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from wordcount_spark.registry import register
 from wordcount_spark.sources.formats import read_jdbc, write_jdbc
@@ -54,4 +55,145 @@ def jdbc_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("n_regionkey < 3")
         .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "parquet_partitioned_pruning_roundtrip",
+    """
+    SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id % 10 ORDER BY bucket
+    """,
+    eager=True,
+)
+def parquet_partitioned_pruning_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hive-layout round-trip with partition pruning: events written
+    partitioned by event_type (the layout every lakehouse table uses for
+    its coarse filter column), read back with a partition-key predicate
+    — the scan touches ONLY the matching directory (pruning asserted in
+    tests/test_formats.py for this layout) — then aggregated. The oracle
+    runs the same aggregate on the original table, so the round-trip
+    must preserve every row and the pruned read must drop exactly the
+    other partitions.
+
+    Scale: partition layout is THE coarse-pruning lever at 100 TB — a
+    predicate on the partition key skips entire directories at planning
+    time, before any row group is opened. Low-cardinality keys only
+    (5 types here); high-cardinality pruning belongs to clustering /
+    Z-order (sources/compaction.py).
+    """
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="wcspark_part_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(f"{tmp}/events")
+    back = spark.read.parquet(f"{tmp}/events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return (
+        back.groupBy((F.col("user_id") % 10).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "csv_roundtrip_orders",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             AS cents
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    eager=True,
+)
+def csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip with an EXPLICIT read schema: orders written as
+    headered CSV, read back with declared types (never inferSchema — a
+    second full scan AND a type-guessing hazard), aggregated per
+    priority. Doubles survive CSV because Spark writes the shortest
+    round-trippable decimal repr; the DECIMAL cents in the oracle pin
+    the check to exact values, so any quoting/escaping/locale bug in the
+    writer or parser diverges the hash.
+
+    Scale: CSV is the interchange format, not the analytics format — no
+    pushdown, no column pruning, full-row parse cost. The pattern at
+    size: land CSV once, rewrite to parquet immediately (the write side
+    here), and point every query at the parquet.
+    """
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="wcspark_csv_")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").option("header", True).csv(f"{tmp}/orders")
+    back = (
+        spark.read.option("header", True)
+        .schema(orders.schema)
+        .csv(f"{tmp}/orders")
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "json_lines_roundtrip_events",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    eager=True,
+)
+def json_lines_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL round-trip with an explicit schema: the events fact written
+    as newline-delimited JSON (the log-shipping interchange every
+    ingestion edge speaks), read back with declared types, aggregated per
+    type. Doubles round-trip exactly through Spark's JSON writer; the
+    aggregate deliberately avoids the timestamp column so the check pins
+    value fidelity, not timezone rendering (timestamp round-trips are
+    exercised in tests/test_formats.py where the session zone is pinned).
+
+    Scale: same story as CSV — parse-heavy interchange, no pruning;
+    land once, convert to parquet. The PERMISSIVE corrupt-record
+    quarantine path for dirty JSON is `read_json_quarantine`.
+    """
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="wcspark_jsonl_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").json(f"{tmp}/events")
+    back = spark.read.schema(ev.schema).json(f"{tmp}/events")
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("event_type")
     )
