@@ -401,3 +401,23 @@ def test_lsh_incremental_invariant_to_batch_slicing(spark, sf_dir, tmp_path):
     batch = lsh_candidate_pairs(sigs, bands=8, rows=4, hash_mode="md5")
     want = sorted(map(tuple, batch.select("ida", "idb").collect()))
     assert got == want
+
+
+def test_line_dedup_invariant_to_batch_slicing(spark, sf_dir, tmp_path):
+    """The streaming line-dedup's min-merged ownership index must yield
+    the SAME per-doc audit whether documents arrive as one batch or as 4
+    arbitrary slices, and that audit must equal the batch
+    text_line_dedup_c4 result."""
+    from wordcount_spark.operators.queries_dedup import text_line_dedup_c4
+    from wordcount_spark.sources.readers import load_table
+    from wordcount_spark.streaming.streams import streaming_line_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "sliced_lines")
+    docs.repartition(4).write.parquet(src)
+
+    sliced = streaming_line_dedup(spark, src, path_glob="part-*.parquet")
+    got = sorted(map(tuple, sliced.collect()))
+
+    want = sorted(map(tuple, text_line_dedup_c4(spark, sf_dir).collect()))
+    assert got == want

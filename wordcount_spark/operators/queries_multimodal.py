@@ -525,3 +525,59 @@ def multimodal_image_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("img_hash")
     )
+
+
+@register(
+    "multimodal_audio_vad_segments",
+    """
+    WITH n AS (
+      SELECT doc_id, 256 + doc_id % 256 AS ns FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, unnest(range(ns)) AS i FROM n
+    ),
+    s AS (
+      SELECT doc_id, i,
+             abs(((doc_id * 31 + i * 17) % 4096) - 2048) >= 1024 AS act
+      FROM idx
+    ),
+    a AS (
+      SELECT doc_id, i,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM s WHERE act
+    ),
+    runs AS (SELECT doc_id, grp, count(*) AS len FROM a GROUP BY doc_id, grp),
+    agg AS (
+      SELECT doc_id, count(*) AS n_seg, sum(len) AS act, max(len) AS longest
+      FROM runs GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(agg.n_seg, 0) AS BIGINT) AS n_segments,
+           CAST(coalesce(agg.act, 0) AS BIGINT) AS active_samples,
+           CAST(coalesce(agg.longest, 0) AS BIGINT) AS longest_run
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity detection over REAL decoded WAV
+    payloads: runs of |PCM16 sample| ≥ 1024 are "speech" segments — the
+    pre-transcription segmentation every audio pipeline runs. The Spark
+    side counts runs with numpy EDGE DETECTION inside the decode UDF
+    (zero shuffle, per-doc stats leave the scan); the oracle finds the
+    same runs by the gaps-and-islands window identity over the unnested
+    sample formula — two independent algorithms, every value must agree.
+
+    Scale: decode+VAD is one narrow mapInPandas stage over the payload
+    column; nothing explodes, nothing shuffles (the oracle's exploded
+    window form is what this implementation deliberately avoids — at
+    100 TB the sample stream is ~10⁶ rows per doc and must die inside
+    the batch).
+    """
+    from wordcount_spark.operators.multimodal import (
+        decode_wav_vad_segments,
+        synth_wav_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_wav_vad_segments(synth_wav_payload(docs)).orderBy("doc_id")

@@ -189,3 +189,29 @@ def q_streaming_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wordcount_spark.streaming.streams import streaming_lsh_index_maintenance
 
     return streaming_lsh_index_maintenance(spark, sf_dir)
+
+
+def _line_dedup_oracle() -> str:
+    from wordcount_spark.registry import ORACLES
+
+    return ORACLES["text_line_dedup_c4"]
+
+
+# STRONG oracle for a streaming op: line ownership merges by MIN (a
+# CRDT-style merge), so the accumulated owner of every line is the GLOBAL
+# min doc_id no matter how the stream is sliced — the finite replay's
+# final audit equals the batch text_line_dedup_c4 byte for byte (slicing
+# invariance proven in tests/test_streaming.py)
+@register("streaming_line_dedup", _line_dedup_oracle(), eager=True)
+def q_streaming_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level dedup maintained as a stream: foreachBatch merges
+    each micro-batch's line hashes into the standing ownership index
+    with a min-merge and emits the per-document audit at the end
+    (`streaming/streams.py::streaming_line_dedup`).
+
+    Scale: per batch the merge touches O(batch lines) index keys; the
+    ownership index is the dedup state a production crawl pipeline
+    persists anyway. The batch twin's SQL is this query's full oracle."""
+    from wordcount_spark.streaming.streams import streaming_line_dedup
+
+    return streaming_line_dedup(spark, sf_dir)

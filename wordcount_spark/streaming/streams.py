@@ -537,3 +537,103 @@ def streaming_lsh_index_maintenance(
     finally:
         q.stop()
     return state["pairs"].orderBy("ida", "idb")
+
+
+def streaming_line_dedup(
+    spark: SparkSession, src_dir: str, path_glob: str = "documents.parquet"
+) -> DataFrame:
+    """C4-style line-level dedup as a stream: ``foreachBatch`` maintains
+    the standing line-ownership index — line hash → lowest doc_id seen —
+    and accumulates per-document line rows; the final per-doc audit
+    (lines / removed / kept chars) equals the batch `text_line_dedup_c4`
+    exactly. Ownership merges by MIN (a CRDT-style merge), so the final
+    owner of every line is the GLOBAL min doc_id regardless of arrival
+    order or batch slicing — that invariance is what upgrades this
+    stream to the batch query's full SQL oracle (proven in
+    tests/test_streaming.py).
+
+    State: owners O(distinct lines) — the dedup index a production
+    pipeline persists anyway; doc_lines O(lines) of 3 narrow columns
+    (here accumulated to close the audit; production emits them to the
+    sink incrementally instead). Per batch the merge touches O(batch
+    lines) keys.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    docs = _stream_table(spark, src_dir, "documents", path_glob=path_glob).select(
+        "doc_id", "text"
+    )
+    own_schema = StructType(
+        [StructField("line_h", StringType()), StructField("keeper", LongType())]
+    )
+    dl_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("line_h", StringType()),
+            StructField("llen", LongType()),
+        ]
+    )
+    state: dict[str, DataFrame] = {
+        "owners": spark.createDataFrame([], own_schema),
+        "doc_lines": spark.createDataFrame([], dl_schema),
+    }
+    w = 15
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+        nl = F.floor((F.size(toks) + F.lit(w - 1)) / F.lit(w)).cast("long")
+        lines = batch.where(F.size(toks) > 0).select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0).cast("long"), nl - 1),
+                    lambda i: F.array_join(
+                        F.slice(toks, (i * w + 1).cast("int"), w), " "
+                    ),
+                )
+            ).alias("line"),
+        )
+        batch_lines = lines.select(
+            "doc_id",
+            F.md5("line").alias("line_h"),
+            F.length("line").cast("long").alias("llen"),
+        )
+        batch_own = batch_lines.groupBy("line_h").agg(
+            F.min("doc_id").alias("keeper")
+        )
+        # CRDT min-merge: arrival order cannot change the final owner
+        state["owners"] = (
+            state["owners"]
+            .unionByName(batch_own)
+            .groupBy("line_h")
+            .agg(F.min("keeper").alias("keeper"))
+            .localCheckpoint(eager=True)
+        )
+        state["doc_lines"] = (
+            state["doc_lines"].unionByName(batch_lines).localCheckpoint(eager=True)
+        )
+
+    q = docs.writeStream.foreachBatch(apply_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        state["doc_lines"]
+        .join(state["owners"], "line_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.count_if(F.col("doc_id") != F.col("keeper"))
+            .cast("long")
+            .alias("n_removed"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("keeper"), F.col("llen")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("doc_id")
+    )
