@@ -1272,3 +1272,170 @@ def dedup_prefix_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") >= 2)
         .orderBy(F.desc("n_docs"), "prefix_hash")
     )
+
+
+@register(
+    "dedup_exact_normalized",
+    """
+    WITH mangled AS (
+      -- deterministic case/whitespace mangling: byte-identical dups stop
+      -- being byte-identical, exactly what crawl re-encodes do
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN upper(text)
+                  ELSE replace(text, ' ', '  ') END AS raw
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id,
+             md5(raw) AS raw_hash,
+             md5(trim(regexp_replace(lower(raw), '[ \t\n]+', ' ', 'g')))
+               AS norm_hash
+      FROM mangled
+    )
+    SELECT norm_hash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT raw_hash) AS BIGINT) AS n_raw_variants,
+           min(doc_id) AS survivor_doc_id
+    FROM norm
+    GROUP BY norm_hash HAVING count(*) >= 2
+    ORDER BY n_docs DESC, norm_hash
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup (the FineWeb/CCNet recipe:
+    lowercase + collapse whitespace BEFORE hashing): the corpus's
+    byte-identical duplicates are first deterministically mangled
+    (uppercasing / double-spacing by doc parity — the re-encoding noise
+    real crawls accumulate), so plain content hashing no longer groups
+    them; hashing the NORMALIZED text recovers every group.
+    `n_raw_variants > 1` inside a group is the measured gap between
+    byte-exact and normalized dedup. Same scale shape as `dedup_exact`:
+    one map-side hash, one aggregation, no pairwise work.
+
+    Scale: normalization is a codegen'd regexp over the scan; the
+    shuffle key stays a 16-byte hash regardless of document size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.when(F.col("doc_id") % 2 == 0, F.upper("text")).otherwise(
+        F.regexp_replace("text", " ", "  ")
+    )
+    norm = docs.select(
+        "doc_id",
+        F.md5(raw).alias("raw_hash"),
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(raw), r"[ \t\n]+", " "))
+        ).alias("norm_hash"),
+    )
+    return (
+        norm.groupBy("norm_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("raw_hash").cast("long").alias("n_raw_variants"),
+            F.min("doc_id").alias("survivor_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "norm_hash")
+    )
+
+
+_MINHASH_CALIB_FINAL = """
+    , cand AS (
+      SELECT DISTINCT a.id AS ida, b.id AS idb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    mtc AS (
+      SELECT c.ida, c.idb,
+             len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS m
+      FROM cand c
+      JOIN sig sa ON sa.id = c.ida
+      JOIN sig sb ON sb.id = c.idb
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS ida, b.id AS idb, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT m.ida, m.idb,
+           CAST(m.m * 1000000 // 32 AS BIGINT) AS est_ppm,
+           CAST(co.common * 1000000 // (sa.sz + sb.sz - co.common) AS BIGINT)
+             AS exact_ppm,
+           CAST(m.m * 1000000 // 32
+                - co.common * 1000000 // (sa.sz + sb.sz - co.common)
+                AS BIGINT) AS err_ppm
+    FROM mtc m
+    JOIN common co ON co.ida = m.ida AND co.idb = m.idb
+    JOIN sizes sa ON sa.id = m.ida
+    JOIN sizes sb ON sb.id = m.idb
+    ORDER BY m.ida, m.idb
+"""
+
+
+@register("eval_minhash_jaccard_calibration", _minhash_sql(32, 8, 4, _MINHASH_CALIB_FINAL))
+def eval_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-calibration audit: for every LSH candidate pair, the
+    MinHash Jaccard ESTIMATE (matching signature positions / 32) next to
+    the EXACT shingle Jaccard, both in integer ppm, plus the signed
+    error — the measurement that tells you whether 32 hashes suffice
+    before a 100 TB run trusts signature similarity as a dedup verdict
+    (E[est] = J; spread at K=32 is ±σ≈√(J(1-J)/32)≈9pp). Composed from
+    the SAME signature/banding pipeline `dedup_minhash_lsh` registers,
+    so the audit cannot drift from the operator it audits; pairs with
+    zero shared shingles (possible band-hash coincidences) drop on both
+    engines via the inner common-join.
+
+    Scale: candidates come from the sub-quadratic banded join; the
+    signature compare is an O(pairs) join against the O(docs) signature
+    table; the exact-Jaccard join runs only over candidate-restricted
+    shingles — this audit never goes all-pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    sigs = minhash_signatures(sh, num_hashes=32, hash_mode="md5")
+    pairs = lsh_candidate_pairs(sigs, bands=8, rows=4, hash_mode="md5")
+    sa = sigs.select(F.col("id").alias("ida"), F.col("signature").alias("siga"))
+    sb = sigs.select(F.col("id").alias("idb"), F.col("signature").alias("sigb"))
+    mtc = (
+        pairs.join(sa, "ida")
+        .join(sb, "idb")
+        .select(
+            "ida",
+            "idb",
+            F.size(
+                F.filter(
+                    F.sequence(F.lit(1), F.lit(32)),
+                    lambda i: F.element_at("siga", i) == F.element_at("sigb", i),
+                )
+            )
+            .cast("long")
+            .alias("m"),
+        )
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
+        .agg(F.count("*").alias("common"))
+    )
+    est = F.expr("CAST(m * 1000000 div 32 AS BIGINT)")
+    exact = F.expr("CAST(common * 1000000 div (sza + szb - common) AS BIGINT)")
+    return (
+        mtc.join(common, ["ida", "idb"])
+        .join(sizes.select(F.col("id").alias("ida"), F.col("sz").alias("sza")), "ida")
+        .join(sizes.select(F.col("id").alias("idb"), F.col("sz").alias("szb")), "idb")
+        .select(
+            "ida",
+            "idb",
+            est.alias("est_ppm"),
+            exact.alias("exact_ppm"),
+            (est - exact).cast("long").alias("err_ppm"),
+        )
+        .orderBy("ida", "idb")
+    )

@@ -1062,3 +1062,71 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         selected, "round int, vec_id long, radius_sq double"
     ).orderBy("round")
+
+
+@register(
+    "similarity_hard_negatives",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlabel, embedding
+      FROM embeddings WHERE vec_id < 3
+    ),
+    scored AS (
+      SELECT a.qid, b.vec_id, b.label,
+             {_DOT_SQL} / ({_NORM_SQL.format(v="a.embedding")}
+                           * {_NORM_SQL.format(v="b.embedding")}) AS cos_sim
+      FROM q a CROSS JOIN embeddings b
+      WHERE b.vec_id >= 3 AND b.label <> a.qlabel
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM scored
+    )
+    SELECT qid, vec_id, label, cos_sim
+    FROM ranked WHERE rk <= 5 ORDER BY qid, cos_sim DESC, vec_id
+    """,
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (the contrastive-training data op: the most
+    similar vectors of a DIFFERENT class are the negatives that teach a
+    retrieval model its decision boundary — BM25/ANN-mined hard negatives
+    are standard for dense retrievers, cf. DPR/ANCE). For each of 3 query
+    vectors: top-5 cosine neighbors whose label differs from the query's.
+    Query vectors and labels collect once (O(k) driver state) and inline
+    as literals — the scoring pass is a map-only scan, no join; per-query
+    ranking is a qid-partitioned window over the scored frame.
+
+    Scale: one corpus scan evaluates all queries; the label exclusion is
+    a pushed residual filter. At fleet size the per-partition top-k prune
+    of `similarity_multiquery_topk` slots in front unchanged.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < 3).select("vec_id", "label", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    per_q = []
+    for r in qrows:
+        qlit = F.array(*[F.lit(float(x)) for x in r.embedding])
+        per_q.append(
+            corpus.filter(F.col("label") != int(r.label)).select(
+                F.lit(int(r.vec_id)).alias("qid"),
+                "vec_id",
+                "label",
+                cosine(F.col("embedding"), qlit).alias("cos_sim"),
+            )
+        )
+    scored = per_q[0]
+    for frame in per_q[1:]:
+        scored = scored.unionByName(frame)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("qid", "vec_id", "label", "cos_sim")
+        .orderBy("qid", F.desc("cos_sim"), "vec_id")
+    )
