@@ -1277,20 +1277,24 @@ def dedup_prefix_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_exact_normalized",
     """
-    WITH mangled AS (
-      -- deterministic case/whitespace mangling: byte-identical dups stop
-      -- being byte-identical, exactly what crawl re-encodes do
-      SELECT doc_id,
+    WITH aug AS (
+      -- the corpus has no byte-identical dups at sf0.01, so the
+      -- re-encoded copies a real crawl accumulates are INJECTED
+      -- deterministically: every 7th doc reappears under a new id,
+      -- uppercased or double-spaced by parity
+      SELECT doc_id, text AS raw FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
              CASE WHEN doc_id % 2 = 0 THEN upper(text)
-                  ELSE replace(text, ' ', '  ') END AS raw
-      FROM documents
+                  ELSE replace(text, ' ', '  ') END
+      FROM documents WHERE doc_id % 7 = 0
     ),
     norm AS (
       SELECT doc_id,
              md5(raw) AS raw_hash,
              md5(trim(regexp_replace(lower(raw), '[ \t\n]+', ' ', 'g')))
                AS norm_hash
-      FROM mangled
+      FROM aug
     )
     SELECT norm_hash,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -1308,22 +1312,30 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     (uppercasing / double-spacing by doc parity — the re-encoding noise
     real crawls accumulate), so plain content hashing no longer groups
     them; hashing the NORMALIZED text recovers every group.
-    `n_raw_variants > 1` inside a group is the measured gap between
-    byte-exact and normalized dedup. Same scale shape as `dedup_exact`:
-    one map-side hash, one aggregation, no pairwise work.
+    `n_raw_variants > 1` inside every group is the measured gap between
+    byte-exact and normalized dedup (the sf0.01 corpus has no
+    byte-identical dups, so the re-encoded copies are injected — every
+    7th doc reappears re-cased/re-spaced under a new id). Same scale
+    shape as `dedup_exact`: one map-side hash, one aggregation, no
+    pairwise work.
 
     Scale: normalization is a codegen'd regexp over the scan; the
     shuffle key stays a 16-byte hash regardless of document size.
     """
     docs = load_table(spark, sf_dir, "documents")
-    raw = F.when(F.col("doc_id") % 2 == 0, F.upper("text")).otherwise(
+    mangled = F.when(F.col("doc_id") % 2 == 0, F.upper("text")).otherwise(
         F.regexp_replace("text", " ", "  ")
     )
-    norm = docs.select(
+    aug = docs.select("doc_id", F.col("text").alias("raw")).unionByName(
+        docs.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), mangled.alias("raw")
+        )
+    )
+    norm = aug.select(
         "doc_id",
-        F.md5(raw).alias("raw_hash"),
+        F.md5("raw").alias("raw_hash"),
         F.md5(
-            F.trim(F.regexp_replace(F.lower(raw), r"[ \t\n]+", " "))
+            F.trim(F.regexp_replace(F.lower("raw"), r"[ \t\n]+", " "))
         ).alias("norm_hash"),
     )
     return (
