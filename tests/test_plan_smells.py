@@ -44,6 +44,8 @@ BNLJ_OK = {
     # 1-row corpus-stats (N, avgdl) fan-out onto the query-vocabulary tf
     # frame; 3-row broadcast query-vector fan-out on the cosine side
     "retrieval_bm25_topk",
+    # composes the BM25 ranked chain above, inheriting its 1-row fan-out
+    "eval_bm25_mrr",
     "retrieval_hybrid_rrf",
     # 1-row budget/level scalars fanned onto the O(sources) frame
     "mix_token_budget_waterfill",

@@ -1311,3 +1311,91 @@ def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "pair_id")
     )
+
+
+@register(
+    "pipeline_sft_full",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter({_TOKS_SQL}, x -> x <> '') AS toks,
+             md5(text) AS h
+      FROM documents
+    ),
+    gated AS (SELECT * FROM t WHERE len(toks) > 40),
+    keepers AS (
+      SELECT h, min(doc_id) AS keeper FROM gated GROUP BY h
+    ),
+    survivors AS (
+      SELECT g.doc_id, g.lang, g.toks
+      FROM gated g JOIN keepers k ON g.h = k.h AND g.doc_id = k.keeper
+    ),
+    pairs AS (
+      SELECT doc_id, lang,
+             'Summarize: ' || array_to_string(list_slice(toks, 1, 20), ' ')
+               AS prompt,
+             array_to_string(list_slice(toks, 21, len(toks)), ' ') AS response,
+             len(toks) - 20 AS n_response_tokens
+      FROM survivors
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(n_response_tokens) AS BIGINT) AS response_tokens,
+           CAST(sum(length('<|system|>You are a helpful assistant.<|user|>'
+                           || prompt || '<|assistant|>' || response
+                           || '<|end|>')) AS BIGINT) AS rendered_chars,
+           CAST(count(DISTINCT md5(prompt)) AS BIGINT) AS distinct_prompts
+    FROM pairs GROUP BY lang ORDER BY lang
+    """,
+)
+def pipeline_sft_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE instruction-tuning data flow composed and oracle-checked
+    end to end (the SFT counterpart of `pipeline_pretrain_full`): length
+    gate → exact-dedup survivor selection → instruction/response pair
+    construction → chat-template rendering → per-language corpus report
+    (pair counts, response-token budget, rendered bytes, distinct-prompt
+    cardinality — the numbers an SFT run is sized from). Every stage is
+    the registered operator's exact logic, so the COMPOSITION — where
+    stage-boundary bugs live — is what the oracle checks.
+
+    Scale: one tokenize scan; the dedup survivor selection is one
+    hash-keyed aggregation + join; pair construction and rendering are
+    map-only; the report is an O(langs) aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    t = docs.select(
+        "doc_id", "lang", toks.alias("tk"), F.md5("text").alias("h")
+    )
+    gated = t.where(F.size("tk") > 40)
+    keepers = gated.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    survivors = gated.join(
+        keepers,
+        (gated["h"] == keepers["h"]) & (gated["doc_id"] == keepers["keeper"]),
+    ).select("doc_id", "lang", "tk")
+    pairs = survivors.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit("Summarize: "), F.array_join(F.slice("tk", 1, 20), " ")
+        ).alias("prompt"),
+        F.array_join(F.expr("slice(tk, 21, size(tk) - 20)"), " ").alias("response"),
+        (F.size("tk") - 20).cast("long").alias("n_response_tokens"),
+    )
+    rendered = F.concat(
+        F.lit("<|system|>You are a helpful assistant.<|user|>"),
+        F.col("prompt"),
+        F.lit("<|assistant|>"),
+        F.col("response"),
+        F.lit("<|end|>"),
+    )
+    return (
+        pairs.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("n_response_tokens").cast("long").alias("response_tokens"),
+            F.sum(F.length(rendered)).cast("long").alias("rendered_chars"),
+            F.count_distinct(F.md5("prompt")).cast("long").alias("distinct_prompts"),
+        )
+        .orderBy("lang")
+    )

@@ -454,3 +454,90 @@ def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phrase")
     )
+
+
+@register(
+    "eval_bm25_mrr",
+    f"""
+    WITH {_BM25_SQL},
+    rel AS (
+      -- relevance label: the doc contains EVERY term of the query
+      SELECT q.qid, t.doc_id
+      FROM q JOIN (SELECT DISTINCT doc_id, tok FROM toks) t ON q.term = t.tok
+      GROUP BY q.qid, t.doc_id
+      HAVING count(*) = 3
+    ),
+    hits AS (
+      SELECT r.qid, min(r.rnk) AS first_rank
+      FROM ranked r JOIN rel ON rel.qid = r.qid AND rel.doc_id = r.doc_id
+      WHERE r.rnk <= {TOPK}
+      GROUP BY r.qid
+    )
+    SELECT q.qid,
+           CAST(count(*) AS BIGINT) AS n_relevant,
+           CAST(coalesce(h.first_rank, -1) AS BIGINT) AS first_relevant_rank,
+           CAST(CASE WHEN h.first_rank IS NULL THEN 0
+                     ELSE 1000000 // h.first_rank END AS BIGINT) AS rr_ppm
+    FROM rel q LEFT JOIN hits h USING (qid)
+    GROUP BY q.qid, h.first_rank
+    ORDER BY q.qid
+    """,
+)
+def eval_bm25_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: reciprocal rank of the first
+    RELEVANT document in each query's BM25 top-10, where relevance is a
+    deterministic conjunctive label (the doc contains every query term —
+    the standard pseudo-label when no human judgments exist). Reciprocal
+    ranks are integer ppm (1e6 div rank), so the metric is engine-exact;
+    -1/-0 sentinels mark queries whose relevant docs all fall outside
+    the cutoff. Composed from the SAME ranked CTE `retrieval_bm25_topk`
+    registers, so the evaluation cannot drift from the ranker it scores.
+
+    Scale: relevance labeling is one semi-join of the query vocabulary
+    against the (doc, term) distinct frame — O(matching docs); the RR
+    join touches only the top-k pool.
+    """
+    ranked = _bm25_ranked(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+        ).alias("tok"),
+    ).distinct()
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(qid, t) for qid, terms in QUERY_TERMS.items() for t in terms],
+            ["qid", "term"],
+        )
+    )
+    rel = (
+        qdf.join(toks, qdf["term"] == toks["tok"])
+        .groupBy("qid", "doc_id")
+        .agg(F.count("*").alias("nt"))
+        .where(F.col("nt") == 3)
+        .select("qid", "doc_id")
+    )
+    hits = (
+        ranked.where(F.col("rnk") <= TOPK)
+        .join(rel, ["qid", "doc_id"])
+        .groupBy("qid")
+        .agg(F.min("rnk").alias("first_rank"))
+    )
+    return (
+        rel.groupBy("qid")
+        .agg(F.count("*").cast("long").alias("n_relevant"))
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            "n_relevant",
+            F.coalesce("first_rank", F.lit(-1)).cast("long").alias(
+                "first_relevant_rank"
+            ),
+            F.expr(
+                "CAST(CASE WHEN first_rank IS NULL THEN 0 "
+                "ELSE 1000000 div first_rank END AS BIGINT)"
+            ).alias("rr_ppm"),
+        )
+        .orderBy("qid")
+    )
