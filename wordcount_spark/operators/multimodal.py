@@ -748,3 +748,41 @@ def decode_wav_vad_segments(wav_df: DataFrame) -> DataFrame:
         schema="doc_id long, n_segments long, active_samples long, "
         "longest_run long",
     )
+
+
+def resize_pgm_box2x2(pgm_df: DataFrame) -> DataFrame:
+    """REAL pixel resize: parse the P5 payload and 2x2 box-downsample with
+    INTEGER floor means (numpy reshape-sum), returning the output
+    dimensions and integer checksums the SQL oracle can replay from the
+    pixel formula. Requires even dimensions (the seeded 32x32 synth)."""
+    import numpy as np
+
+    def rsz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "out_w", "out_h", "out_sum",
+                                   "out_min", "out_max")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                magic, dims, rest = buf.split(b"\n", 2)
+                if magic != b"P5":
+                    raise ValueError(f"not a P5 PGM: {magic!r}")
+                w, h = (int(x) for x in dims.split())
+                maxval, pixbytes = rest.split(b"\n", 1)
+                if int(maxval) != 255 or len(pixbytes) != w * h or w % 2 or h % 2:
+                    raise ValueError("corrupt or odd-dimension PGM payload")
+                img = np.frombuffer(pixbytes, dtype=np.uint8).astype(np.int64)
+                img = img.reshape(h, w)
+                small = img.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3)) // 4
+                out["doc_id"].append(doc_id)
+                out["out_w"].append(w // 2)
+                out["out_h"].append(h // 2)
+                out["out_sum"].append(int(small.sum()))
+                out["out_min"].append(int(small.min()))
+                out["out_max"].append(int(small.max()))
+            yield pd.DataFrame(out)
+
+    return pgm_df.mapInPandas(
+        rsz,
+        schema="doc_id long, out_w long, out_h long, out_sum long, "
+        "out_min long, out_max long",
+    )

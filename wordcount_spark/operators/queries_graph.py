@@ -610,3 +610,84 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_score"), "u", "w")
         .limit(20)
     )
+
+
+@register(
+    "graph_walks_deterministic",
+    f"""
+    WITH {_UND_SQL},
+    adj AS (
+      SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und
+    ),
+    s0 AS (SELECT node AS start FROM deg WHERE d <= 100),
+    r1 AS (
+      SELECT s0.start, adj.b AS n1,
+             row_number() OVER (PARTITION BY s0.start
+               ORDER BY md5(CAST(s0.start AS VARCHAR) || '-1-'
+                            || CAST(adj.b AS VARCHAR))) AS rn
+      FROM s0 JOIN adj ON adj.a = s0.start
+    ),
+    s1 AS (SELECT start, n1 FROM r1 WHERE rn = 1),
+    r2 AS (
+      SELECT s1.start, s1.n1, adj.b AS n2,
+             row_number() OVER (PARTITION BY s1.start
+               ORDER BY md5(CAST(s1.n1 AS VARCHAR) || '-2-'
+                            || CAST(adj.b AS VARCHAR))) AS rn
+      FROM s1 JOIN adj ON adj.a = s1.n1
+    ),
+    s2 AS (SELECT start, n1, n2 FROM r2 WHERE rn = 1),
+    r3 AS (
+      SELECT s2.start, s2.n1, s2.n2, adj.b AS n3,
+             row_number() OVER (PARTITION BY s2.start
+               ORDER BY md5(CAST(s2.n2 AS VARCHAR) || '-3-'
+                            || CAST(adj.b AS VARCHAR))) AS rn
+      FROM s2 JOIN adj ON adj.a = s2.n2
+    )
+    SELECT start, n1, n2, n3 FROM r3 WHERE rn = 1
+    ORDER BY start
+    """,
+)
+def graph_walks_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-seeded random walks (the node2vec/DeepWalk corpus generator,
+    made engine-reproducible): from every degree-≤100 node, a 3-step walk
+    whose next hop minimizes md5(current-step-neighbor) — a deterministic
+    stand-in for the RNG transition no two engines could replay
+    identically, with the same statistical role (hash-uniform choice
+    among neighbors). md5 collisions would need identical inputs, so the
+    argmin is unique and the whole walk table is exactly reproducible.
+
+    Scale: the textbook K-round walk extension — each step is ONE join
+    of the O(walks) frontier against the (cached, reused) adjacency list
+    plus a per-walk top-1 window; K steps = K shuffles of frontier-sized
+    frames, never edge×edge. The degree cap bounds the per-node
+    neighbor fan-in the window must rank.
+    """
+    from pyspark.sql import Window
+
+    und = _undirected_copurchase(spark, sf_dir)
+    deg = _degrees(und)
+    adj = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    walks = deg.where(F.col("d") <= 100).select(F.col("node").alias("start"))
+    cur = "start"
+    for step in (1, 2, 3):
+        nxt = f"n{step}"
+        w = Window.partitionBy("start").orderBy(
+            F.md5(
+                F.concat(
+                    F.col(cur).cast("string"),
+                    F.lit(f"-{step}-"),
+                    F.col("b").cast("string"),
+                )
+            )
+        )
+        walks = (
+            walks.join(adj, walks[cur] == adj["a"])
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("a", "rn")
+            .withColumnRenamed("b", nxt)
+        )
+        cur = nxt
+    return walks.select("start", "n1", "n2", "n3").orderBy("start")

@@ -581,3 +581,51 @@ def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_wav_vad_segments(synth_wav_payload(docs)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_resize_real_pgm",
+    """
+    WITH base AS (
+      SELECT doc_id, doc_id % 50 AS seed, doc_id % 3 AS off FROM documents
+    ),
+    small AS (
+      SELECT doc_id,
+             list_transform(range(256), b ->
+               list_sum(list_transform(range(4), k ->
+                 (seed * 7919
+                  + (((b // 16) * 2 + k // 2) * 32 + (b % 16) * 2 + k % 2)
+                    * 104729) % 253 + off)) // 4) AS px
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS out_w,
+           CAST(16 AS BIGINT) AS out_h,
+           CAST(list_sum(px) AS BIGINT) AS out_sum,
+           CAST(list_min(px) AS BIGINT) AS out_min,
+           CAST(list_max(px) AS BIGINT) AS out_max
+    FROM small ORDER BY doc_id
+    """,
+)
+def multimodal_resize_real_pgm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel resize (not the geometry-only stub `multimodal_resize`):
+    the seeded 32x32 PGM payloads are parsed and 2x2 box-downsampled with
+    integer floor means inside the decode UDF — the thumbnailing /
+    vision-preprocessing step — and the oracle replays the exact
+    synth→downsample arithmetic per output pixel in SQL, so the parse,
+    reshape, and box-mean must all agree on every image.
+
+    Scale: one narrow mapInPandas stage; downsampling SHRINKS the data
+    4x before anything else touches it — the order every production
+    vision pipeline wants (decode+resize fused at the scan, full-res
+    pixels never hit a shuffle).
+    """
+    from pyspark.sql import functions as F
+
+    from wordcount_spark.operators.multimodal import (
+        resize_pgm_box2x2,
+        synth_pgm_payload_seeded,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_pgm_box2x2(synth_pgm_payload_seeded(docs)).orderBy("doc_id")
