@@ -1399,3 +1399,113 @@ def pipeline_sft_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "llm_dataset_card",
+    f"""
+    WITH per_doc AS (
+      SELECT source, lang,
+             len(list_filter({_TOKS_SQL}, x -> x <> '')) AS ws,
+             len(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
+               AS bpe,
+             n_chars,
+             md5(substr(text, 1, 64)) AS prefix_hash
+      FROM documents
+    ),
+    lang_rank AS (
+      SELECT source, lang, count(*) AS c,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY count(*) DESC, lang) AS rn
+      FROM per_doc GROUP BY source, lang
+    ),
+    dupes AS (
+      SELECT source, CAST(sum(extra) AS BIGINT) AS dup_candidates
+      FROM (SELECT source, prefix_hash, count(*) - 1 AS extra
+            FROM per_doc GROUP BY source, prefix_hash) g
+      GROUP BY source
+    )
+    SELECT p.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p.ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(p.bpe) AS BIGINT) AS bpe_tokens,
+           CAST(sum(p.n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT p.lang) AS BIGINT) AS n_langs,
+           min(lr.lang) AS top_lang,
+           CAST(min(lr.c) * 1000000 // count(*) AS BIGINT) AS top_lang_ppm,
+           CAST(min(d.dup_candidates) AS BIGINT) AS dup_candidates
+    FROM per_doc p
+    JOIN (SELECT source, lang, c FROM lang_rank WHERE rn = 1) lr
+      ON lr.source = p.source
+    JOIN dupes d ON d.source = p.source
+    GROUP BY p.source ORDER BY p.source
+    """,
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card report (the per-source datasheet every released
+    training corpus ships — cf. Datasheets for Datasets, the Pile/ROOTS
+    cards): document and token counts both ways (whitespace and the
+    BPE-ish pre-tokenizer), character mass, language coverage with the
+    dominant language's share in integer ppm, and the prefix-hash
+    duplicate-candidate count — one row per source, every number an
+    exact integer.
+
+    Scale: one map pass computes all per-doc measures (regex counting in
+    codegen, a 16-byte prefix hash); three source-keyed aggregations
+    share the shuffle key; nothing is corpus-quadratic. The same query
+    IS the release gate a pipeline runs before publishing a snapshot.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from wordcount_spark.operators.queries_textstats import _BPE_RE
+
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.size(_toks()).alias("ws"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias("bpe"),
+        "n_chars",
+        F.md5(F.substring("text", 1, 64)).alias("prefix_hash"),
+    )
+    per_doc = per_doc.cache()
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("source").orderBy(F.desc("c"), "lang")
+    lang_top = (
+        per_doc.groupBy("source", "lang")
+        .agg(F.count("*").alias("c"))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), F.col("c").alias("top_c"))
+    )
+    dupes = (
+        per_doc.groupBy("source", "prefix_hash")
+        .agg((F.count("*") - 1).alias("extra"))
+        .groupBy("source")
+        .agg(F.sum("extra").cast("long").alias("dup_candidates"))
+    )
+    base = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.sum("bpe").cast("long").alias("bpe_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+    )
+    return (
+        base.join(lang_top, "source")
+        .join(dupes, "source")
+        .select(
+            "source",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            "total_chars",
+            "n_langs",
+            "top_lang",
+            F.expr("CAST(top_c * 1000000 div n_docs AS BIGINT)").alias(
+                "top_lang_ppm"
+            ),
+            "dup_candidates",
+        )
+        .orderBy("source")
+    )

@@ -831,3 +831,104 @@ def events_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type", "hod")
     )
+
+
+@register(
+    "events_median_session_duration",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid,
+             ts
+      FROM flagged
+    ),
+    dur AS (
+      SELECT CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS d
+      FROM sess GROUP BY user_id, sid
+    ),
+    ranked AS (
+      SELECT d, row_number() OVER (ORDER BY d) AS rn, count(*) OVER () AS n
+      FROM dur
+    )
+    SELECT d AS median_duration_sec, CAST(n AS BIGINT) AS n_sessions
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+    eager=True,
+)
+def events_median_session_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median session duration — the composition of the gap
+    sessionizer (30-min inactivity, same boundary logic as
+    `events_sessionize_gap`) with the two-pass order-statistic skeleton
+    of `agg_median_twopass`: per-session integer durations aggregate
+    into a 60-second bucket histogram (map-side combinable, O(range)
+    groups), the driver walks O(buckets) counts to locate the k-th
+    value's bucket and in-bucket rank, and one probe scan takes that
+    bucket's r smallest. No global sort ever happens; the oracle finds
+    the same order statistic by direct window rank. Durations are whole
+    seconds, so the median is engine-exact. EAGER: the histogram walk
+    collects O(buckets) rows at plan-build time.
+
+    Scale: sessionization shares one user-keyed exchange; durations are
+    O(sessions); the histogram is O(duration-range/60) regardless of
+    session count; the probe touches one bucket.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    dur = sess.groupBy("user_id", "sid").agg(
+        (F.max("ts").cast("long") - F.min("ts").cast("long")).alias("d")
+    )
+    dur = dur.cache()
+    bucket = F.floor(F.col("d") / 60).cast("long")
+    hist = sorted(
+        dur.groupBy(bucket.alias("b")).agg(F.count("*").alias("c")).collect(),
+        key=lambda r: r["b"],
+    )
+    n = sum(r["c"] for r in hist)
+    k = (n + 1) // 2
+    cum = 0
+    for r in hist:
+        if cum + r["c"] >= k:
+            b_star, r_in = r["b"], k - cum
+            break
+        cum += r["c"]
+    probe = (
+        dur.filter(bucket == b_star)
+        .orderBy("d")
+        .limit(r_in)
+        .agg(F.max("d").cast("long").alias("median_duration_sec"))
+        .select("median_duration_sec", F.lit(n).cast("long").alias("n_sessions"))
+    )
+    return probe
