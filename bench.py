@@ -53,8 +53,31 @@ HEADLINE = [
 #: pre-run 1-min load above this marks the emitted JSON "noisy": the box
 #: is shared, and a busy neighbor inflates wall-clock up to ~2x. The
 #: comparison tool (tools/bench_compare.py) REFUSES noisy runs, so a
-#: round-over-round delta can never be a load artifact.
-NOISE_LOAD_1M = 12.0
+#: round-over-round delta can never be a load artifact. 4.0 on a 32-cpu
+#: box (VERDICT r3: the old 12.0 gate accepted a pre-run load of 8.57
+#: that inflated every r3 query ~1.2-1.4x and poisoned the comparison).
+NOISE_LOAD_1M = 4.0
+
+#: how long main() waits for the 1-min load to drop below the gate
+#: before giving up and emitting a (marked-noisy) run anyway.
+QUIET_WAIT_SEC = 600
+
+
+def _wait_for_quiet(max_wait: float = QUIET_WAIT_SEC, poll: float = 15.0) -> float:
+    """Retry-until-quiet (VERDICT r3 item 1): block until the 1-minute
+    load average drops below NOISE_LOAD_1M, up to max_wait seconds.
+    Returns the final pre-run load; the caller still stamps "noisy" from
+    it, so a timeout degrades to the old behavior (emit, marked noisy)."""
+    load = os.getloadavg()[0]
+    deadline = time.monotonic() + max_wait
+    while load > NOISE_LOAD_1M and time.monotonic() < deadline:
+        print(
+            f"bench: load {load:.2f} > gate {NOISE_LOAD_1M}, waiting...",
+            file=sys.stderr,
+        )
+        time.sleep(poll)
+        load = os.getloadavg()[0]
+    return load
 
 
 def _materialize_8x_corpus(paths: list[str], scratch: str) -> list[str]:
@@ -66,7 +89,10 @@ def _materialize_8x_corpus(paths: list[str], scratch: str) -> list[str]:
     item 5: the old 8x run listed the same paths 8 times, which kept the
     vocabulary 1x and flattered the reduce stage; that caveat no longer
     applies and is gone from the emitted JSON). Generated once and
-    reused; regeneration is content-addressed by total size."""
+    reused; regeneration is keyed on a per-source-file (path, size,
+    mtime) manifest — NOT the aggregate byte count, which Caesar
+    rotation preserves and which therefore could not detect a content
+    change or coincidentally-sized leftovers (ADVICE r3 item 1)."""
     import string
 
     os.makedirs(scratch, exist_ok=True)
@@ -80,13 +106,24 @@ def _materialize_8x_corpus(paths: list[str], scratch: str) -> list[str]:
         tables.append(bytes.maketrans(
             (lower + upper).encode(), (rot_l + rot_u).encode()
         ))
-    expected = sum(os.path.getsize(p) for p in paths) * 7
+    manifest_path = os.path.join(scratch, "manifest.json")
+    want = {
+        "sources": [
+            [p, os.path.getsize(p), int(os.path.getmtime(p))] for p in paths
+        ],
+        "variants": 7,
+    }
     have = [
         os.path.join(scratch, f)
         for f in sorted(os.listdir(scratch))
         if f.endswith(".txt")
     ]
-    if sum(os.path.getsize(p) for p in have) != expected:
+    try:
+        with open(manifest_path) as f:
+            got = json.load(f)
+    except (OSError, ValueError):
+        got = None
+    if got != want or len(have) != 7 * len(paths):
         for p in have:
             os.remove(p)
         have = []
@@ -99,6 +136,8 @@ def _materialize_8x_corpus(paths: list[str], scratch: str) -> list[str]:
                 with open(dst, "wb") as f:
                     f.write(data)
                 have.append(dst)
+        with open(manifest_path, "w") as f:
+            json.dump(want, f)
     return out_paths + have
 
 
@@ -106,7 +145,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    prerun_load = os.getloadavg()[0]
+    prerun_load = _wait_for_quiet()
 
     from wordcount_spark.registry import get_queries
     from wordcount_spark.session import get_spark

@@ -14,8 +14,8 @@ def _skewed_tokens(spark, n_rows: int = 20_000, vocab: int = 2_000):
     """Zipf-ish stream: a handful of hot tokens (>1% each) over a long
     uniform tail of `vocab` distinct cold tokens."""
     base = spark.range(n_rows)
-    # id % 97 == 0 → hot token h{id%5} (~1/97 ≈ 1% each of 5 hot tokens,
-    # boosted below); otherwise cold token c{id % vocab}.
+    # id % 7 < 2 → hot token h{id%5} (2/7 of the stream split over 5 hot
+    # tokens ≈ 5.7% each); otherwise cold token c{id % vocab}.
     tok = F.when(
         F.col("id") % 7 < 2, F.concat(F.lit("h"), (F.col("id") % 5).cast("string"))
     ).otherwise(F.concat(F.lit("c"), (F.col("id") % vocab).cast("string")))

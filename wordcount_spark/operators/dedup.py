@@ -190,13 +190,34 @@ def minhash_signatures_arr(
     )
 
 
+#: bound on banded frames pinned at once (ADVICE r3: batch callers return
+#: lazy frames and can't unpersist after the consuming job, so long
+#: sessions running many LSH queries accumulated MEMORY_AND_DISK pins).
+#: Evicting the oldest pin is always safe — an evicted frame that is
+#: re-executed later just recomputes its lineage.
+_BANDED_PIN_MAX = 4
+_banded_pins: list[DataFrame] = []
+
+
+def _pin_banded(df: DataFrame) -> DataFrame:
+    df = df.cache()
+    _banded_pins.append(df)
+    while len(_banded_pins) > _BANDED_PIN_MAX:
+        try:
+            _banded_pins.pop(0).unpersist()
+        except Exception:
+            pass  # session already stopped / frame already unpersisted
+    return df
+
+
 def lsh_banded_index(
     signatures: DataFrame, bands: int, rows: int, hash_mode: str = "xxhash64"
 ) -> DataFrame:
     """(id, band, bucket) banded index rows, CACHED — this is the frame a
     production LSH pipeline materializes as its standing index table.
     hash_mode='md5' buckets by md5 of the joined slice (portable to the
-    SQL oracle); 'xxhash64' uses the cheap murmur hash."""
+    SQL oracle); 'xxhash64' uses the cheap murmur hash. The pin is
+    bounded session-wide by :data:`_BANDED_PIN_MAX` (oldest evicted)."""
 
     def bucket_of(bnd: int) -> Column:
         sl = F.slice("signature", bnd * rows + 1, rows)
@@ -204,12 +225,14 @@ def lsh_banded_index(
             return F.md5(F.array_join(F.transform(sl, lambda v: v.cast("string")), ","))
         return F.hash(sl).cast("string")
 
-    return signatures.select(
-        "id",
-        F.posexplode(F.array(*[bucket_of(bnd) for bnd in range(bands)])).alias(
-            "band", "bucket"
-        ),
-    ).cache()  # self-joined by every caller: without the pin the whole
+    return _pin_banded(
+        signatures.select(
+            "id",
+            F.posexplode(F.array(*[bucket_of(bnd) for bnd in range(bands)])).alias(
+                "band", "bucket"
+            ),
+        )
+    )  # self-joined by every caller: without the pin the whole
     # shingle → minhash lineage executes once per join side (no
     # cross-branch exchange reuse). ids × bands rows — production LSH
     # materializes this anyway (MEMORY_AND_DISK, spills instead of OOM)

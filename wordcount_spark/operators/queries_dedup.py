@@ -350,8 +350,12 @@ def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CURATION_SQL = """
-    WITH t AS (
+# Quality-gate CTE prefix (t → m → kept), shared verbatim between the
+# batch pipeline oracle below and the streaming curation oracle
+# (queries_streaming.streaming_doc_quality_dedup): the gate predicates
+# must be bit-identical everywhere they appear.
+_GATE_CTES = """
+    t AS (
       SELECT doc_id, lang, text,
              list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
                          x -> x <> '') AS toks
@@ -369,7 +373,11 @@ _CURATION_SQL = """
       WHERE n_tokens >= 20
         AND CAST(n_punct AS DOUBLE) / n_chars < 0.1
         AND CAST(n_stop AS DOUBLE) / n_tokens > 0.05
-    ),
+    )"""
+
+_CURATION_SQL = (
+    "\n    WITH " + _GATE_CTES.strip() + ","
+) + """
     keepers AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
     k AS (SELECT kept.* FROM kept JOIN keepers ON kept.doc_id = keepers.doc_id),
     sh AS (

@@ -20,6 +20,26 @@ from wordcount_spark.registry import register
 from wordcount_spark.sources.formats import read_jdbc, write_jdbc
 from wordcount_spark.sources.readers import load_table
 
+#: one Derby scratch dir per process, removed at exit (ADVICE r3: a fresh
+#: mkdtemp per invocation leaked scratch DBs across registry-wide sweeps —
+#: stability_check alone invokes every query twice). write_jdbc's default
+#: overwrite mode makes reuse safe: each call replaces the table.
+_DERBY_SCRATCH: str | None = None
+
+
+def _derby_scratch(spark: SparkSession) -> str:
+    global _DERBY_SCRATCH
+    if _DERBY_SCRATCH is None:
+        import atexit
+        import shutil
+
+        _DERBY_SCRATCH = tempfile.mkdtemp(prefix="wcspark_derby_")
+        atexit.register(shutil.rmtree, _DERBY_SCRATCH, ignore_errors=True)
+        spark._jvm.java.lang.System.setProperty(  # keep derby.log out of CWD
+            "derby.stream.error.file", f"{_DERBY_SCRATCH}/derby.log"
+        )
+    return _DERBY_SCRATCH
+
 
 @register(
     "jdbc_roundtrip_nation",
@@ -43,10 +63,7 @@ def jdbc_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     immediately. The write side caps its connection count by coalescing
     to a handful of partitions.
     """
-    tmp = tempfile.mkdtemp(prefix="wcspark_derby_")
-    spark._jvm.java.lang.System.setProperty(  # keep derby.log out of CWD
-        "derby.stream.error.file", f"{tmp}/derby.log"
-    )
+    tmp = _derby_scratch(spark)
     url = f"jdbc:derby:{tmp}/db;create=true"
     nation = load_table(spark, sf_dir, "nation")
     write_jdbc(nation.coalesce(2), url, "nation")

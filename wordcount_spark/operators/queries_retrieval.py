@@ -460,12 +460,17 @@ def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     "eval_bm25_mrr",
     f"""
     WITH {_BM25_SQL},
+    qn AS (SELECT qid, count(*) AS n_terms FROM q GROUP BY qid),
     rel AS (
       -- relevance label: the doc contains EVERY term of the query
+      -- (per-qid term count from the q CTE, not a hardcoded literal —
+      -- ADVICE r3: a future query with a different term-list length
+      -- would silently produce an empty/wrong relevance set)
       SELECT q.qid, t.doc_id
       FROM q JOIN (SELECT DISTINCT doc_id, tok FROM toks) t ON q.term = t.tok
-      GROUP BY q.qid, t.doc_id
-      HAVING count(*) = 3
+      JOIN qn ON qn.qid = q.qid
+      GROUP BY q.qid, t.doc_id, qn.n_terms
+      HAVING count(*) = qn.n_terms
     ),
     hits AS (
       SELECT r.qid, min(r.rnk) AS first_rank
@@ -511,11 +516,21 @@ def eval_bm25_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["qid", "term"],
         )
     )
+    # per-qid term count derived from QUERY_TERMS, mirroring the oracle's
+    # qn CTE (ADVICE r3: the old literal `nt == 3` would silently break
+    # for a query with a different term-list length)
+    qn = F.broadcast(
+        spark.createDataFrame(
+            [(qid, len(terms)) for qid, terms in QUERY_TERMS.items()],
+            ["qid", "n_terms"],
+        )
+    )
     rel = (
         qdf.join(toks, qdf["term"] == toks["tok"])
         .groupBy("qid", "doc_id")
         .agg(F.count("*").alias("nt"))
-        .where(F.col("nt") == 3)
+        .join(qn, "qid")
+        .where(F.col("nt") == F.col("n_terms"))
         .select("qid", "doc_id")
     )
     hits = (
