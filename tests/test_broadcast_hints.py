@@ -42,8 +42,9 @@ ALLOWED: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/queries_relational.py", "dq_referential_audit"): (1, "nation(25)"),
     ("operators/queries_relational.py", "agg_argmax_join"): (1, "O(nations) per-group max table"),
     ("operators/queries_retrieval.py", "_bm25_ranked"): (3, "fixed 9-term query set, its per-term df, 1-row corpus stats"),
-    ("operators/queries_retrieval.py", "eval_bm25_mrr"): (1, "fixed 9-term query set (relevance labels)"),
+    ("operators/queries_retrieval.py", "eval_bm25_mrr"): (2, "fixed 9-term query set (relevance labels) + its 3-row per-qid term-count frame"),
     ("operators/queries_textstats.py", "text_heaps_law_curve"): (2, "1-row n_docs scalar fanned onto the per-doc and per-token-first-seen frames"),
+    ("operators/queries_textstats.py", "text_heavyhitters_twopass"): (1, "MG candidate set gated on a MEASURED count (<=1M; O(P*256) by construction); unhinted over the cap"),
     ("operators/queries_retrieval.py", "retrieval_hybrid_rrf"): (1, "3 fixed query vectors"),
     ("operators/queries_similarity.py", "similarity_topk_bruteforce"): (1, "fixed query vectors"),
     ("operators/queries_similarity.py", "similarity_binary_hamming_topk"): (1, "1-row query signature (2 longs)"),

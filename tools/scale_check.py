@@ -161,22 +161,26 @@ def pipelines():
         )
 
     def heavyhitters(df):
-        # text_heavyhitters_twopass shape: per-partition Misra-Gries
-        # candidates + exact recount of candidates only — the token
-        # stream is scanned twice, shuffled never, so growth should
-        # track the scan
-        from wordcount_spark.operators.sketches import misra_gries_candidates
+        # text_heavyhitters_twopass shape: ONE per-partition Misra-Gries
+        # summary pass (candidates + exact per-partition totals,
+        # localCheckpointed — paid inside the timed region since the
+        # pipeline is rebuilt per measurement) + exact recount of
+        # candidates only — the token stream is scanned exactly twice,
+        # shuffled never, so growth should track the scan
+        from wordcount_spark.operators.sketches import misra_gries_summary_arrays
 
-        toks = df.select(
-            F.explode(
-                F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
-            ).alias("tok")
-        )
-        cand = misra_gries_candidates(toks, "tok", 256).distinct()
-        counts = toks.join(cand, "tok", "left_semi").groupBy("tok").agg(
+        tok_arr = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+        toks = df.select(F.explode(tok_arr).alias("tok"))
+        summ = misra_gries_summary_arrays(
+            df.select(tok_arr.alias("toks")), "toks", "tok", 256
+        ).localCheckpoint(eager=True)
+        cand = summ.where(F.col("tok").isNotNull()).select("tok").distinct()
+        n_cand = cand.count()  # cheap: reads the checkpointed summary
+        cand_b = F.broadcast(cand) if n_cand <= 1_000_000 else cand
+        counts = toks.join(cand_b, "tok", "left_semi").groupBy("tok").agg(
             F.count("*").alias("cnt")
         )
-        total = toks.agg(F.count("*").alias("n"))
+        total = summ.agg(F.sum("part_total").alias("n"))
         return (
             counts.crossJoin(total)
             .filter(F.col("cnt") >= F.expr("n div 100"))
@@ -240,6 +244,121 @@ def pipelines():
             )
         )
 
+    def pretrain_full(df):
+        # pipeline_pretrain_full shape (VERDICT r3 item 7): gate → exact
+        # dedup → min-lang rebalance → chunking → chunk dedup → split →
+        # report. The per-stage shuffles: md5 dedup, lang counts,
+        # chunk-hash dedup, final group — all key-bounded.
+        from pyspark.sql import Window
+
+        from wordcount_spark.operators.queries_llmprep import CHUNK_S, CHUNK_W
+
+        t = df.select(
+            "doc_id",
+            "lang",
+            F.filter(F.split("text", r"\s+"), lambda x: x != F.lit("")).alias("toks"),
+            F.md5("text").alias("text_md5"),
+        )
+        q = t.where(F.size("toks") >= 20)
+        w_dup = Window.partitionBy("text_md5").orderBy("doc_id")
+        survivors = (
+            q.withColumn("rn", F.row_number().over(w_dup))
+            .where("rn = 1")
+            .select("doc_id", "lang", "toks")
+        )
+        counts = survivors.groupBy("lang").agg(F.count("*").alias("n"))
+        min_n = counts.agg(F.min("n").alias("min_n"))
+        rates = counts.crossJoin(F.broadcast(min_n)).select(
+            "lang", (F.col("min_n").cast("double") / F.col("n")).alias("rate")
+        )
+        bucket = (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+            .cast("long") % 10000
+        )
+        mixed = survivors.join(F.broadcast(rates), "lang").where(
+            bucket < F.col("rate") * 10000
+        )
+        chunks = mixed.select(
+            "doc_id", "lang", F.size("toks").alias("n"), "toks",
+            F.posexplode(
+                F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_S))
+            ).alias("chunk_idx", "start"),
+        ).select(
+            "doc_id", "lang", "chunk_idx",
+            F.least(F.lit(CHUNK_W), F.col("n") - F.col("start")).alias("n_tok"),
+            F.md5(
+                F.array_join(F.slice("toks", F.col("start") + 1, F.lit(CHUNK_W)), " ")
+            ).alias("h"),
+        )
+        w_chunk = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+        uchunks = (
+            chunks.withColumn("rn", F.row_number().over(w_chunk))
+            .where("rn = 1")
+            .select("doc_id", "lang", "n_tok")
+        )
+        split_bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("s"), F.col("doc_id").cast("string"))), 1, 7
+                ), 16, 10,
+            ).cast("long") % 10
+        )
+        return (
+            uchunks.withColumn(
+                "split",
+                F.when(split_bucket == 0, F.lit("holdout")).otherwise(F.lit("train")),
+            )
+            .groupBy("lang", "split")
+            .agg(
+                F.count_distinct("doc_id").alias("n_docs"),
+                F.count("*").alias("n_chunks"),
+                F.sum("n_tok").alias("n_tokens"),
+            )
+        )
+
+    def rag_corpus(df):
+        # pipeline_rag_corpus shape (VERDICT r3 item 7): exact dedup →
+        # chunk count → embedding attach (1:1 id join; embedding derived
+        # deterministically in-plan since synthdocs has no vector column
+        # — same width, same join/shuffle shape) → broadcast 3-query
+        # cosine top-5.
+        from pyspark.sql import Window
+
+        from wordcount_spark.operators.queries_similarity import cosine
+
+        w_dedup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        survivors = (
+            df.withColumn("rn", F.row_number().over(w_dedup))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "text")
+        )
+        toks = F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
+        chunks = survivors.select(
+            "doc_id", F.ceil(F.size(toks) / 64).alias("n_chunks")
+        )
+        emb_expr = F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("doc_id") * 64 + i), F.lit(1000)) / 1000.0
+            ).cast("float"),
+        )
+        emb = df.select("doc_id", emb_expr.alias("embedding"))
+        corpus = chunks.join(emb, "doc_id").select("doc_id", "n_chunks", "embedding")
+        q = emb.where(F.col("doc_id") < 3).select(
+            F.col("doc_id").alias("qid"), F.col("embedding").alias("q_emb")
+        )
+        sims = corpus.crossJoin(F.broadcast(q)).select(
+            "qid", "doc_id", "n_chunks",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+        w_rank = Window.partitionBy("qid").orderBy(F.desc("cos"), "doc_id")
+        return (
+            sims.withColumn("rank", F.row_number().over(w_rank))
+            .where(F.col("rank") <= 5)
+            .groupBy()
+            .agg(F.count("*").alias("n"), F.sum("cos").alias("total"))
+        )
+
     return {
         "wordcount": wc,
         "minhash_lsh": lsh,
@@ -250,6 +369,8 @@ def pipelines():
         "heavyhitters": heavyhitters,
         "skipgram": skipgram,
         "line_dedup": line_dedup,
+        "pipeline_pretrain_full": pretrain_full,
+        "pipeline_rag_corpus": rag_corpus,
     }
 
 

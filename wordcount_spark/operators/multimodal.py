@@ -2,10 +2,14 @@
 
 Two tiers of decode:
 
-- CODEC formats (JPEG/PNG/FLAC/MP4): the container has no codec
-  libraries, so that decode path is stubbed (``_decode_real`` raises
-  NotImplementedError behind an import-try; the deterministic fake
-  derives features arithmetically from the payload bytes).
+- CODEC formats (JPEG/PNG/FLAC/MP4): PROBE-GATED on Pillow/soundfile
+  (same pattern as the Delta probe): where the libraries exist, the
+  bottom section of this module runs REAL encode→decode round trips with
+  formula oracles and queries_multimodal registers the matching queries;
+  where they don't — as in this container — ``_decode_real`` raises
+  NotImplementedError behind an import-try, nothing registers, and the
+  deterministic fake derives features arithmetically from the payload
+  bytes. MP4 stays an honest stub (no pure-Python demuxer worth faking).
 - CODEC-FREE formats (PGM P5 images, RIFF/WAVE PCM16 audio): decoded FOR
   REAL — header parsing + numpy byte reinterpretation, no library needed
   (``decode_pgm_features`` / ``decode_wav_features``). Their payloads are
@@ -52,15 +56,36 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 
 
 def _decode_real(payload: bytes, mime: str):  # pragma: no cover - no codecs in env
-    """Real decode path — requires codec libs absent from this container."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image/audio codecs not available in this environment; "
-            "use the deterministic stub features instead"
-        ) from exc
-    raise NotImplementedError("real decode wired when codec libs are present")
+    """Real single-payload decode: Pillow for images, soundfile for audio
+    (probe-gated — see the codec section at the bottom of this module for
+    the batch/Arrow query paths). Raises NotImplementedError when the
+    codec library is absent from the environment, as in this container."""
+    if mime.startswith("image/"):
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                "Pillow not available in this environment; "
+                "use the deterministic stub features instead"
+            ) from exc
+        import numpy as np
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    if mime.startswith("audio/"):
+        try:
+            import io
+
+            import soundfile as sf
+        except ImportError as exc:
+            raise NotImplementedError(
+                "soundfile not available in this environment; "
+                "use the deterministic stub features instead"
+            ) from exc
+        samples, rate = sf.read(io.BytesIO(payload), dtype="int16")
+        return samples, rate
+    raise NotImplementedError(f"no decoder wired for {mime}")
 
 
 def fake_dims(n_bytes: int) -> tuple[int, int]:
@@ -785,4 +810,233 @@ def resize_pgm_box2x2(pgm_df: DataFrame) -> DataFrame:
         rsz,
         schema="doc_id long, out_w long, out_h long, out_sum long, "
         "out_min long, out_max long",
+    )
+
+
+# --- Probe-gated REAL codec decodes (Pillow / soundfile) --------------------
+# Mirrors the Delta probe pattern (session.delta_python_available): when the
+# codec library is importable, these stages run REAL encode→decode round
+# trips with formula oracles on synthetic payloads and the matching queries
+# register (queries_multimodal registers them conditionally); when absent —
+# as in this container — nothing registers and the tests skip cleanly.
+
+
+def pillow_available() -> bool:
+    """True when Pillow is importable (PNG/JPEG encode+decode)."""
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+def soundfile_available() -> bool:
+    """True when soundfile/libsndfile is importable (FLAC encode+decode)."""
+    import importlib.util
+
+    return importlib.util.find_spec("soundfile") is not None
+
+
+def png_dims(doc_id: int) -> tuple[int, int]:
+    return 10 + doc_id % 7, 5 + doc_id % 6
+
+
+def jpeg_dims(doc_id: int) -> tuple[int, int]:
+    # multiple-of-16 sides: whole MCU blocks, no subsampling edge cases
+    return 16 * (1 + doc_id % 4), 16 * (1 + doc_id % 3)
+
+
+def _formula_rgb(doc_id: int, w: int, h: int):
+    """The shared top-down RGB pixel formula (same family as the BMP
+    oracle): pixel (p, c) = (doc_id*BMP_A + p*BMP_B + c*BMP_C) % 256."""
+    import numpy as np
+
+    idx = np.arange(w * h, dtype=np.int64)
+    return (
+        np.stack(
+            [(doc_id * BMP_A + idx * BMP_B + c * BMP_C) % 256 for c in range(3)],
+            axis=1,
+        )
+        .astype(np.uint8)
+        .reshape(h, w, 3)
+    )
+
+
+def synth_png_payload(docs: DataFrame) -> DataFrame:
+    """doc_id → a REAL PNG (Pillow-encoded) of the formula RGB image at
+    ``png_dims``. PNG is lossless, so the decode stage must reproduce the
+    per-channel sums EXACTLY — a full-strength codec round-trip oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w, h = png_dims(int(doc_id))
+                buf = io.BytesIO()
+                Image.fromarray(_formula_rgb(int(doc_id), w, h), "RGB").save(
+                    buf, format="PNG"
+                )
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def decode_image_features_pillow(img_df: DataFrame) -> DataFrame:
+    """REAL decode via Pillow (any Pillow-readable container): decode the
+    payload, convert to RGB, aggregate the same integer-exact per-channel
+    features as the codec-free BMP path."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "n_pixels",
+                                   "sum_r", "sum_g", "sum_b", "max_rgb")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.asarray(
+                    Image.open(io.BytesIO(bytes(payload))).convert("RGB"),
+                    dtype=np.int64,
+                )
+                h, w = arr.shape[:2]
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["sum_r"].append(int(arr[:, :, 0].sum()))
+                out["sum_g"].append(int(arr[:, :, 1].sum()))
+                out["sum_b"].append(int(arr[:, :, 2].sum()))
+                out["max_rgb"].append(int(arr.max()))
+            yield pd.DataFrame(out)
+
+    return img_df.mapInPandas(
+        dec,
+        schema="doc_id long, width long, height long, n_pixels long, "
+        "sum_r long, sum_g long, sum_b long, max_rgb long",
+    )
+
+
+def synth_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """doc_id → a REAL JPEG (Pillow-encoded, quality 90) of the formula RGB
+    image at ``jpeg_dims``. JPEG is lossy, so only container-level facts
+    (dimensions, mode, a decoded-pixel-range sanity bound) are oracle
+    material — the pixel sums are NOT asserted."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w, h = jpeg_dims(int(doc_id))
+                buf = io.BytesIO()
+                Image.fromarray(_formula_rgb(int(doc_id), w, h), "RGB").save(
+                    buf, format="JPEG", quality=90
+                )
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def decode_image_dims_pillow(img_df: DataFrame) -> DataFrame:
+    """REAL decode via Pillow, emitting the lossy-safe facts: container
+    format, decoded dimensions, mode, and whether every decoded byte is a
+    valid u8 (in_range — trivially true, but it forces a FULL pixel decode
+    rather than a header peek)."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "fmt", "width", "height",
+                                   "mode", "in_range")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = Image.open(io.BytesIO(bytes(payload)))
+                fmt = img.format
+                arr = np.asarray(img.convert("RGB"), dtype=np.int64)
+                out["doc_id"].append(doc_id)
+                out["fmt"].append(fmt)
+                out["width"].append(arr.shape[1])
+                out["height"].append(arr.shape[0])
+                out["mode"].append(img.mode)
+                out["in_range"].append(bool((arr >= 0).all() and (arr <= 255).all()))
+            yield pd.DataFrame(out)
+
+    return img_df.mapInPandas(
+        dec,
+        schema="doc_id long, fmt string, width long, height long, "
+        "mode string, in_range boolean",
+    )
+
+
+def synth_flac_payload(docs: DataFrame) -> DataFrame:
+    """doc_id → a REAL FLAC (libsndfile-encoded) of the WAV sample formula
+    ``((doc_id*31 + i*17) % 4096) - 2048`` at 16 kHz mono PCM16. FLAC is
+    lossless, so the decode stage must reproduce the WAV oracle's
+    integer-exact loudness features."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+        import soundfile as sf
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = wav_n_samples(int(doc_id))
+                samples = (
+                    (int(doc_id) * WAV_SAMP_A + np.arange(n, dtype=np.int64) * WAV_SAMP_B)
+                    % 4096
+                    - 2048
+                ).astype(np.int16)
+                buf = io.BytesIO()
+                sf.write(buf, samples, WAV_RATE, format="FLAC", subtype="PCM_16")
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def decode_flac_features(flac_df: DataFrame) -> DataFrame:
+    """REAL FLAC decode via libsndfile: decompress to PCM16 and aggregate
+    the same integer-exact loudness features as the codec-free WAV path."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+        import soundfile as sf
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sample_rate", "n_samples",
+                                   "sum_abs", "sum_sq", "peak_abs")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate = sf.read(
+                    io.BytesIO(bytes(payload)), dtype="int16"
+                )
+                s = samples.astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(int(rate))
+                out["n_samples"].append(len(s))
+                out["sum_abs"].append(int(np.abs(s).sum()))
+                out["sum_sq"].append(int((s * s).sum()))
+                out["peak_abs"].append(int(np.abs(s).max()) if len(s) else 0)
+            yield pd.DataFrame(out)
+
+    return flac_df.mapInPandas(
+        dec,
+        schema="doc_id long, sample_rate long, n_samples long, "
+        "sum_abs long, sum_sq long, peak_abs long",
     )

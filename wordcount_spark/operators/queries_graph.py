@@ -409,17 +409,59 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KCORE_K = 5  # the core order; fixed so the test can mirror it
+# The core order, fixed so the test and oracle can mirror it. 65 sits in
+# the co-purchase graph's degree transition band at BOTH test SFs
+# (sf0.001: 188 of 200 nodes survive after 3 peel rounds; sf0.01: 1992 of
+# 2000 after 1 round) — the old k=5 was below every node's degree, so the
+# peel never actually peeled on real data and the check was vacuous.
+_KCORE_K = 65
 
-@register("graph_kcore_members", eager=True)  # rows-only: the peel is a
-# data-dependent fixpoint — no bounded SQL unrolling exists; correctness is
-# pinned by the Python-peel differential test in tests/test_graph.py
+# Data-dependent fixpoint expressed as a DuckDB recursive CTE: the state
+# is ONE row per peel round carrying the sorted survivor list; the
+# recursive term recomputes in-survivor degrees and emits only while the
+# list still changes, so recursion length = peel depth (no unrolling; the
+# it < 60 guard mirrors the Spark side's iteration cap).
+_KCORE_SQL = f"""
+    WITH RECURSIVE {_UND_SQL},
+    adj AS (SELECT u AS node, v AS other FROM und
+            UNION ALL SELECT v, u FROM und),
+    peel(it, members) AS (
+      SELECT 0 AS it,
+             (SELECT list_sort(list(DISTINCT node)) FROM adj) AS members
+      UNION ALL
+      SELECT it + 1, coalesce(nxt, []) FROM (
+        SELECT it, members,
+          (SELECT list_sort(list(node)) FROM (
+             SELECT node FROM adj
+             WHERE list_contains(members, node)
+               AND list_contains(members, other)
+             GROUP BY node HAVING count(*) >= {{k}}
+          ) s) AS nxt
+        FROM peel
+      ) t
+      WHERE coalesce(nxt, []) IS DISTINCT FROM members AND it < 60
+    ),
+    final AS (SELECT members FROM peel ORDER BY it DESC LIMIT 1)
+    SELECT node, CAST(count(*) AS BIGINT) AS core_degree
+    FROM adj, final
+    WHERE list_contains(members, node) AND list_contains(members, other)
+    GROUP BY node ORDER BY node
+"""
+
+
+@register("graph_kcore_members", _KCORE_SQL.format(k=_KCORE_K), eager=True)
 def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-core of the co-purchase graph (k=5): the maximal subgraph where
+    """K-core of the co-purchase graph (k=65, inside the degree transition
+    band so the peel genuinely cascades): the maximal subgraph where
     every node keeps ≥ k neighbors — the standard "dense backbone"
     extractor (community seeds, spam-graph pruning, visualization
     filtering). Iterative peel: drop nodes with degree < k, recompute
-    degrees on the induced subgraph, repeat to fixpoint.
+    degrees on the induced subgraph, repeat to fixpoint. STRONG oracle
+    (upgraded from rows-only in r4): DuckDB's recursive CTE runs the same
+    data-dependent fixpoint over a survivor-list state row, so two
+    independent peel implementations must agree on membership AND in-core
+    degrees; the Python-peel differential test (tests/test_graph.py) is
+    the third implementation.
 
     Scale: each round is one degree aggregation + one semi-join of the
     edge list against surviving nodes — the edge frame shrinks

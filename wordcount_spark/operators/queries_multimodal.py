@@ -629,3 +629,145 @@ def multimodal_resize_real_pgm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return resize_pgm_box2x2(synth_pgm_payload_seeded(docs)).orderBy("doc_id")
+
+
+def _register_codec_gated() -> None:
+    """Conditionally register the REAL-codec decode queries (VERDICT r3
+    item 4, mirroring the Delta-probe pattern): where Pillow/soundfile
+    exist these run real encode→decode round trips with formula oracles;
+    where they don't — as in this container — nothing registers, QUERIES.md
+    doesn't list them, and tests/test_multimodal_codecs.py skips cleanly.
+    The lossless codecs (PNG, FLAC) carry FULL byte-exact feature oracles;
+    the lossy one (JPEG) asserts the container facts a lossy round trip
+    preserves (format, dims, mode, full-decode range)."""
+    from wordcount_spark.operators.multimodal import (
+        pillow_available,
+        soundfile_available,
+    )
+
+    if pillow_available():
+
+        @register(
+            "multimodal_decode_png_pillow",
+            """
+            WITH dims AS (
+              SELECT doc_id, 10 + doc_id % 7 AS width, 5 + doc_id % 6 AS height
+              FROM documents
+            ),
+            px AS (
+              SELECT doc_id, width, height, width * height AS n_pixels,
+                     list_transform(range(width * height),
+                                    p -> (doc_id * 7901 + p * 104711) % 256) AS r,
+                     list_transform(range(width * height),
+                                    p -> (doc_id * 7901 + p * 104711 + 31) % 256) AS g,
+                     list_transform(range(width * height),
+                                    p -> (doc_id * 7901 + p * 104711 + 62) % 256) AS b
+              FROM dims
+            )
+            SELECT doc_id, width, height, n_pixels,
+                   CAST(list_sum(r) AS BIGINT) AS sum_r,
+                   CAST(list_sum(g) AS BIGINT) AS sum_g,
+                   CAST(list_sum(b) AS BIGINT) AS sum_b,
+                   CAST(greatest(list_max(r), list_max(g), list_max(b)) AS BIGINT)
+                     AS max_rgb
+            FROM px ORDER BY doc_id
+            """,
+        )
+        def multimodal_decode_png_pillow(
+            spark: SparkSession, sf_dir: str
+        ) -> DataFrame:
+            """REAL PNG round trip through Pillow (probe-gated): encode the
+            formula RGB image, decode it back, aggregate per-channel sums.
+            PNG is lossless so the oracle is byte-exact — the full-strength
+            check for a real codec path.
+
+            Scale: same narrow two-UDF mapInPandas shape as the codec-free
+            image paths; no shuffle but the output sort."""
+            from wordcount_spark.operators.multimodal import (
+                decode_image_features_pillow,
+                synth_png_payload,
+            )
+
+            docs = load_table(spark, sf_dir, "documents")
+            return decode_image_features_pillow(synth_png_payload(docs)).orderBy(
+                "doc_id"
+            )
+
+        @register(
+            "multimodal_decode_jpeg",
+            """
+            SELECT doc_id,
+                   'JPEG' AS fmt,
+                   CAST(16 * (1 + doc_id % 4) AS BIGINT) AS width,
+                   CAST(16 * (1 + doc_id % 3) AS BIGINT) AS height,
+                   'RGB' AS mode,
+                   TRUE AS in_range
+            FROM documents ORDER BY doc_id
+            """,
+        )
+        def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+            """REAL JPEG round trip through Pillow (probe-gated): encode the
+            formula RGB image at quality 90, FULLY decode it back, and emit
+            the facts a lossy codec preserves (container format, decoded
+            dimensions, mode, all-bytes-in-range over the complete pixel
+            decode). Pixel sums are deliberately NOT asserted — JPEG is
+            lossy and a sum oracle would be codec-version-dependent.
+
+            Scale: same narrow two-UDF mapInPandas shape; no shuffle but
+            the output sort."""
+            from wordcount_spark.operators.multimodal import (
+                decode_image_dims_pillow,
+                synth_jpeg_payload,
+            )
+
+            docs = load_table(spark, sf_dir, "documents")
+            return decode_image_dims_pillow(synth_jpeg_payload(docs)).orderBy(
+                "doc_id"
+            )
+
+    if soundfile_available():
+
+        @register(
+            "multimodal_decode_flac",
+            """
+            WITH n AS (
+              SELECT doc_id, 256 + doc_id % 256 AS n_samples FROM documents
+            ),
+            s AS (
+              SELECT doc_id, n_samples,
+                     list_transform(range(n_samples),
+                                    i -> ((doc_id * 31 + i * 17) % 4096) - 2048)
+                       AS samples
+              FROM n
+            )
+            SELECT doc_id,
+                   CAST(16000 AS BIGINT) AS sample_rate,
+                   n_samples,
+                   CAST(list_sum(list_transform(samples, x -> abs(x))) AS BIGINT)
+                     AS sum_abs,
+                   CAST(list_sum(list_transform(samples, x -> x * x)) AS BIGINT)
+                     AS sum_sq,
+                   CAST(list_max(list_transform(samples, x -> abs(x))) AS BIGINT)
+                     AS peak_abs
+            FROM s ORDER BY doc_id
+            """,
+        )
+        def multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+            """REAL FLAC round trip through libsndfile (probe-gated): encode
+            the WAV sample formula as FLAC, decompress it back, aggregate
+            the same integer-exact loudness features as the codec-free WAV
+            path. FLAC is lossless so the oracle is the WAV formula oracle
+            verbatim — compression must be bit-transparent.
+
+            Scale: same narrow two-UDF mapInPandas shape; no shuffle but
+            the output sort."""
+            from wordcount_spark.operators.multimodal import (
+                decode_flac_features,
+                synth_flac_payload,
+            )
+
+            docs = load_table(spark, sf_dir, "documents")
+            return decode_flac_features(synth_flac_payload(docs)).orderBy("doc_id")
+
+
+_register_codec_gated()

@@ -1570,32 +1570,47 @@ def text_heavyhitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact φ=1% heavy hitters WITHOUT shuffling the token stream: pass 1
     runs a per-partition Misra-Gries summary (capacity 256 ≥ 1/φ, so the
     candidate union provably contains every ≥1% token — see
-    operators/sketches.py), pass 2 exactly recounts candidates only and
-    applies the integer threshold ``n div 100`` (integer arithmetic on
-    both engines — no float-threshold ulp edge). The oracle recomputes the
-    SAME answer the direct way (full groupBy + threshold), which is
-    exactly the guarantee under test: superset candidates + exact recount
-    ≡ exact heavy hitters, independent of partitioning.
+    operators/sketches.py) that ALSO carries each partition's exact token
+    count, pass 2 exactly recounts candidates only and applies the
+    integer threshold ``n div 100`` (integer arithmetic on both engines —
+    no float-threshold ulp edge). The oracle recomputes the SAME answer
+    the direct way (full groupBy + threshold), which is exactly the
+    guarantee under test: superset candidates + exact recount ≡ exact
+    heavy hitters, independent of partitioning.
 
-    Scale: pass 1 moves O(P×256) candidate rows; pass 2's groupBy is
-    map-side combined to O(P×|candidates|) partials; the 1-row total
-    fans out via a broadcast nested-loop (allowlisted). The full stream
-    is scanned twice but shuffled never — the only exact-HH shape that
-    survives 100 TB of tokens.
+    Scale: the stream is scanned exactly TWICE and shuffled never — the
+    only exact-HH shape that survives 100 TB of tokens. The O(P×256)-row
+    pass-1 summary is localCheckpointed so its two consumers (candidate
+    set, Σ part_total) don't re-run the scan (r3's three-scan shape —
+    separate total count — profiled as the worst scale_check outlier);
+    pass 2's groupBy is map-side combined to O(P×|candidates|) partials,
+    and the 1-row total fans out via a broadcast nested-loop
+    (allowlisted).
     """
-    from wordcount_spark.operators.sketches import misra_gries_candidates
+    from wordcount_spark.operators.sketches import misra_gries_summary_arrays
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.explode(
-            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
-        ).alias("tok")
-    )
-    cand = misra_gries_candidates(toks, "tok", capacity=256).distinct()
-    counts = toks.join(cand, "tok", "left_semi").groupBy("tok").agg(
+    tok_arr = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+    toks = docs.select(F.explode(tok_arr).alias("tok"))
+    # O(P×capacity) rows materialized once; both branches below read it.
+    # Pass 1 crosses the Arrow boundary as token ARRAYS (per-doc rows) —
+    # ~2× cheaper than per-token rows at 50× data (r4 profile).
+    summ = misra_gries_summary_arrays(
+        docs.select(tok_arr.alias("toks")), "toks", "tok", capacity=256
+    ).localCheckpoint(eager=True)
+    cand = summ.where(F.col("tok").isNotNull()).select("tok").distinct()
+    # broadcast hint gated on a MEASURED count (the cheap count reads the
+    # checkpointed O(P×256) summary, not the stream): without the hint
+    # Catalyst plans a SortMergeJoin that shuffles the full token stream
+    # against the tiny candidate set — the exact shuffle this operator
+    # exists to avoid (caught in the r4 profile). Over the cap (unbounded
+    # P at extreme scale) the engine's shuffle join is the right call.
+    n_cand = cand.count()
+    cand_b = F.broadcast(cand) if n_cand <= 1_000_000 else cand
+    counts = toks.join(cand_b, "tok", "left_semi").groupBy("tok").agg(
         F.count("*").alias("cnt")
     )
-    total = toks.agg(F.count("*").alias("n"))
+    total = summ.agg(F.sum("part_total").alias("n"))
     return (
         counts.crossJoin(total)
         .filter(F.col("cnt") >= F.expr("n div 100"))

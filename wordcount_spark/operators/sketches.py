@@ -5,17 +5,27 @@ Two-pass GUARANTEED heavy hitters (no approximation in the final answer):
 * pass 1 streams every partition through a bounded Misra-Gries summary
   (``capacity`` counters, Arrow batch at a time). The mergeable-summary
   rule (Agarwal et al., "Mergeable Summaries", PODS'12) — add exact batch
-  counts, then if more than ``capacity`` keys survive, subtract the
-  (capacity+1)-th largest count from every counter and drop the non-
-  positives — keeps the total undercount ≤ N_p/(capacity+1) per
-  partition. Hence any token with partition frequency f_p >
-  N_p/(capacity+1) still has a positive counter at partition end, and by
-  pigeonhole any GLOBAL token with frequency ≥ φ·N appears with f_p ≥
-  φ·N_p in at least one partition — so with capacity ≥ 1/φ the union of
-  per-partition candidates is a SUPERSET of the φ-heavy tokens.
+  counts, then on overflow subtract the (capacity+1)-th largest count
+  from every counter and drop the non-positives — keeps the total
+  undercount ≤ N_p/(capacity+1) per partition: every compress removes ≥
+  (capacity+1)·pivot mass, so Σ pivots ≤ N_p/(capacity+1) regardless of
+  HOW OFTEN the compress runs. That invariance lets the implementation
+  compress LAZILY (only when the merged map exceeds 4×capacity, plus a
+  final compress to ≤ capacity) — ~4× fewer selection passes than
+  compressing after every batch, same guarantee. Hence any token with
+  partition frequency f_p > N_p/(capacity+1) still has a positive counter
+  at partition end, and by pigeonhole any GLOBAL token with frequency ≥
+  φ·N appears with f_p ≥ φ·N_p in at least one partition — so with
+  capacity ≥ 1/φ the union of per-partition candidates is a SUPERSET of
+  the φ-heavy tokens.
 * pass 2 exactly recounts only the candidates (semi join + map-side
   combined groupBy) and applies the exact integer threshold, discarding
   the superset's false positives.
+
+The per-batch merge is fully vectorized (pandas ``value_counts`` +
+index-aligned ``Series.add``; the compress is one ``numpy.partition``
+selection) — no per-key Python loop touches the token stream (the r3
+profile showed the dict-merge loop dominating the 50× growth ratio).
 
 Scale: the raw token stream is never shuffled — pass 1 emits O(P ×
 capacity) candidate rows, pass 2's exchange carries O(P × |candidates|)
@@ -28,31 +38,97 @@ set is simply every token present — still a superset.
 
 from __future__ import annotations
 
-import heapq
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
-def misra_gries_candidates(df: DataFrame, col: str, capacity: int) -> DataFrame:
-    """One row per surviving Misra-Gries counter key per partition.
+def _compress(acc: pd.Series, capacity: int) -> pd.Series:
+    """Mergeable-MG compress: subtract the (capacity+1)-th largest count,
+    keep the strictly-positive remainder (≤ capacity survivors)."""
+    vals = acc.to_numpy()
+    pivot = np.partition(vals, len(vals) - (capacity + 1))[len(vals) - (capacity + 1)]
+    return acc[vals > pivot] - pivot
 
-    The output is partitioning-DEPENDENT (it is a per-partition summary);
-    only the pass-2 exact recount is partitioning-invariant. Callers must
-    therefore never expose this frame directly as a query result.
+
+def misra_gries_summary(df: DataFrame, col: str, capacity: int) -> DataFrame:
+    """Per-partition MG summary in ONE pass over the stream: ≤ ``capacity``
+    candidate rows per partition (``part_total`` NULL) plus exactly one
+    NULL-key row per partition carrying that partition's total item count
+    — so callers get candidates AND the exact global total from a single
+    scan (the global total is Σ part_total; it is exact, not an MG
+    estimate). The output is partitioning-DEPENDENT (a per-partition
+    summary); only the pass-2 exact recount is partitioning-invariant.
+    Callers must therefore never expose this frame directly as a query
+    result.
     """
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict[str, int] = {}
+        acc: pd.Series | None = None
+        total = 0
         for pdf in batches:
-            for key, cnt in pdf[col].value_counts().items():
-                counters[key] = counters.get(key, 0) + int(cnt)
-            if len(counters) > capacity:
-                # mergeable-MG compress: subtract the (capacity+1)-th
-                # largest count, drop non-positive counters.
-                pivot = heapq.nlargest(capacity + 1, counters.values())[-1]
-                counters = {k: v - pivot for k, v in counters.items() if v > pivot}
-        yield pd.DataFrame({col: list(counters.keys())})
+            total += len(pdf)
+            vc = pdf[col].value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            if len(acc) > 4 * capacity:
+                acc = _compress(acc, capacity)
+        if acc is not None and len(acc) > capacity:
+            acc = _compress(acc, capacity)
+        keys = [] if acc is None else list(acc.index)
+        yield pd.DataFrame(
+            {
+                col: keys + [None],
+                "part_total": [None] * len(keys) + [total],
+            }
+        )
 
-    return df.mapInPandas(summarize, schema=f"{col} string")
+    return df.mapInPandas(summarize, schema=f"{col} string, part_total long")
+
+
+def misra_gries_summary_arrays(
+    df: DataFrame, arr_col: str, out_col: str, capacity: int
+) -> DataFrame:
+    """:func:`misra_gries_summary` over an ARRAY column — same output
+    contract, one summary row set per partition — but the stream crosses
+    the Arrow boundary as list values (one row per document) instead of
+    one row per token: ~N_tokens/N_docs fewer row headers to serialize,
+    measured ~2× faster at 50× data in the r4 profile. Prefer this form
+    whenever the tokens already exist as an array upstream."""
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: pd.Series | None = None
+        total = 0
+        for pdf in batches:
+            if len(pdf):
+                toks = np.concatenate(pdf[arr_col].to_numpy())
+            else:
+                toks = np.array([], dtype=object)
+            total += len(toks)
+            vc = pd.Series(toks).value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            if len(acc) > 4 * capacity:
+                acc = _compress(acc, capacity)
+        if acc is not None and len(acc) > capacity:
+            acc = _compress(acc, capacity)
+        keys = [] if acc is None else list(acc.index)
+        yield pd.DataFrame(
+            {
+                out_col: keys + [None],
+                "part_total": [None] * len(keys) + [total],
+            }
+        )
+
+    return df.mapInPandas(summarize, schema=f"{out_col} string, part_total long")
+
+
+def misra_gries_candidates(df: DataFrame, col: str, capacity: int) -> DataFrame:
+    """One row per surviving Misra-Gries counter key per partition (the
+    candidate rows of :func:`misra_gries_summary`, totals dropped)."""
+    return (
+        misra_gries_summary(df, col, capacity)
+        .where(F.col(col).isNotNull())
+        .select(col)
+    )
