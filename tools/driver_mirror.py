@@ -78,6 +78,7 @@ def main():
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("-q", "--queries", nargs="*", default=None)
+    ap.add_argument("--json", default=None, help="write a results artifact (MIRROR_rN.json)")
     args = ap.parse_args()
 
     from wordcount_spark.registry import get_oracles, get_queries
@@ -130,6 +131,22 @@ def main():
                 print(f"     {msg}")
     print(f"\n{len(names)} run; {len(fails)} fail under model; "
           f"calibration: {agree} agree, {mispredict} mispredict")
+    if args.json:
+        fail_msgs = dict(fails)
+        artifact = {
+            "model": "toPandas-vs-df stringified (driver-calibrated)",
+            "sf_dir": args.sf_dir,
+            "n_run": len(names),
+            "n_fail": len(fails),
+            "calibration": {"agree": agree, "mispredict": mispredict},
+            "results": {
+                n: {"ok": n not in fail_msgs, "msg": fail_msgs.get(n)}
+                for n in names
+            },
+        }
+        with open(args.json, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"wrote {args.json}")
     spark.stop()
     return 1 if (mispredict or (not known and fails)) else 0
 

@@ -219,8 +219,12 @@ def pipelines():
 
     def line_dedup(df):
         # text_line_dedup_c4 shape: positional 15-token lines hashed,
-        # one min-owner aggregation + one join back — exact dedup on the
-        # line grain; growth should track the line count (O(tokens/15))
+        # ownership via window MIN over the line key — ONE line-keyed
+        # exchange (the r3 groupBy+join-back shape paid the exchange
+        # twice plus an SMJ); growth should track the line count
+        # (O(tokens/15))
+        from pyspark.sql import Window
+
         toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
         nl = F.floor((F.size(toks) + F.lit(14)) / F.lit(15)).cast("long")
         lines = df.where(F.size(toks) > 0).select(
@@ -234,14 +238,12 @@ def pipelines():
                 )
             ).alias("line_h"),
         )
-        own = lines.groupBy("line_h").agg(F.min("doc_id").alias("keeper"))
-        return (
-            lines.join(own, "line_h")
-            .groupBy()
-            .agg(
-                F.count("*").alias("n_lines"),
-                F.count_if(F.col("doc_id") != F.col("keeper")).alias("n_removed"),
-            )
+        owned = lines.withColumn(
+            "keeper", F.min("doc_id").over(Window.partitionBy("line_h"))
+        )
+        return owned.groupBy().agg(
+            F.count("*").alias("n_lines"),
+            F.count_if(F.col("doc_id") != F.col("keeper")).alias("n_removed"),
         )
 
     def pretrain_full(df):

@@ -1189,13 +1189,16 @@ def text_line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, and characters surviving — the corpus transformation a real
     pipeline applies before tokenization.
 
-    Scale: the line frame is O(tokens/15) rows; ownership is one
-    map-side-combinable min-aggregation on the line text (at 100 TB,
+    Scale: the line frame is O(tokens/15) rows; ownership is a window
+    MIN over the line key — ONE line-keyed exchange total (at 100 TB,
     hash the line to a 128-bit key first so the shuffle carries 16-byte
-    keys, not strings — same survivor semantics), then one line-keyed
-    join back and a doc-keyed count. No pairwise work anywhere: line
-    dedup is exact dedup on the line grain.
+    keys, not strings — same survivor semantics), then a doc-keyed
+    count. The r3 shape was groupBy(line) + join-back: two consumers of
+    the line exchange plus a sort-merge join; the window form halves the
+    line-keyed work (r4 scale_check: 50× growth 4.3 → ~2.6). No pairwise
+    work anywhere: line dedup is exact dedup on the line grain.
     """
+    from pyspark.sql import Window
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
     w = _LINE_W
@@ -1214,10 +1217,11 @@ def text_line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("line"),
         )
     )
-    own = lines.groupBy("line").agg(F.min("doc_id").alias("keeper"))
+    owned = lines.withColumn(
+        "keeper", F.min("doc_id").over(Window.partitionBy("line"))
+    )
     return (
-        lines.join(own, "line")
-        .groupBy("doc_id")
+        owned.groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_lines"),
             F.count_if(F.col("doc_id") != F.col("keeper"))
