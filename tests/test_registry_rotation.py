@@ -127,3 +127,26 @@ def test_failed_driver_rows_do_not_count_as_checked(tmp_path, monkeypatch):
     assert "rows_only_green" in seen
     assert "red_q" not in seen
     assert "err_q" not in seen
+
+
+def test_rows_only_pass_does_not_satisfy_oracle_backed(tmp_path, monkeypatch):
+    """A query UPGRADED from rows-only to oracle-backed must drop back to
+    the unseen class: its old rows_match pass says nothing about the new
+    hash comparison (r4 upgraded eight queries this way)."""
+    import json
+
+    from wordcount_spark import registry
+
+    registry._load_all()
+    oracle_backed = next(iter(registry.ORACLES))
+    rows = {
+        oracle_backed: {"rows_match": True, "schema_match": None,
+                        "hash_match": None, "err": None},
+    }
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(rows))
+    import glob as glob_mod
+
+    monkeypatch.setattr(
+        glob_mod, "glob", lambda pat: [str(tmp_path / "CORRECTNESS_r99.json")]
+    )
+    assert oracle_backed not in registry.driver_checked()

@@ -421,3 +421,37 @@ def test_line_dedup_invariant_to_batch_slicing(spark, sf_dir, tmp_path):
 
     want = sorted(map(tuple, text_line_dedup_c4(spark, sf_dir).collect()))
     assert got == want
+
+
+def test_attribution_invariant_to_time_ordered_slicing(spark, sf_dir, tmp_path):
+    """The stream-stream interval join must emit the SAME pair set whether
+    events arrive as one batch or as 4 time-ordered slices — the argument
+    backing its r4 oracle upgrade: a purchase in batch N+1 has ts ≥ batch
+    N's max event time, so every click it can join is still at or above
+    the watermark when it arrives. (Arbitrary/unordered slicing is NOT
+    covered by that argument: a real feed is time-ordered.)"""
+    from wordcount_spark.sources.readers import load_table
+    from wordcount_spark.streaming.streams import (
+        run_to_completion,
+        streaming_purchase_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "sliced_events")
+    # range-partition on ts: part-00000 holds the earliest range, and the
+    # file source replays paths in order -> a time-ordered 4-batch feed
+    ev.repartitionByRange(4, "ts").write.parquet(src)
+
+    sliced = run_to_completion(
+        streaming_purchase_attribution(spark, src, path_glob="part-*.parquet"),
+        "t_ssj_sliced",
+        "append",
+    )
+    got = sorted(map(tuple, sliced.collect()))
+
+    single = run_to_completion(
+        streaming_purchase_attribution(spark, sf_dir), "t_ssj_single", "append"
+    )
+    want = sorted(map(tuple, single.collect()))
+    assert got == want
+    assert len(got) > 0

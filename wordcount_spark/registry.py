@@ -90,35 +90,37 @@ SENTINELS: tuple[str, ...] = (
 
 
 def driver_checked() -> frozenset[str]:
-    """Names with at least one PASSING driver-side correctness row in a
-    committed CORRECTNESS_r*.json: hash_match for oracle-backed rows, or
-    rows_match for rows-only rows. A FAILED row does NOT count — the
-    query stays in the unseen class, so it re-enters the very next
-    graded window and keeps re-entering until the driver itself sees the
-    fix pass (a red row rotating out unverified would be the quiet way
-    to bury a regression)."""
+    """Names whose committed driver evidence matches their CURRENT
+    evidence class: an oracle-backed query needs a passing hash_match
+    row; a rows-only query needs a passing rows_match row. A FAILED row
+    does NOT count — the query stays in the unseen class, so it
+    re-enters the very next graded window and keeps re-entering until
+    the driver itself sees the fix pass (a red row rotating out
+    unverified would be the quiet way to bury a regression). Likewise a
+    query UPGRADED from rows-only to oracle-backed (r4 upgraded eight)
+    drops back to unseen: its old rows-only pass says nothing about the
+    new hash comparison, so the stronger check must be re-proven by the
+    driver."""
     import glob
     import json
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    names: set[str] = set()
+    hash_seen: set[str] = set()
+    rows_seen: set[str] = set()
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         try:
             rows = json.load(open(path))
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if not isinstance(row, dict):
+            if not isinstance(row, dict) or row.get("err"):
                 continue
-            passed = (
-                row.get("hash_match")
-                if row.get("hash_match") is not None
-                else row.get("rows_match")
-            )
-            if passed and not row.get("err"):
-                names.add(name)
-    return frozenset(names)
+            if row.get("hash_match"):
+                hash_seen.add(name)
+            elif row.get("hash_match") is None and row.get("rows_match"):
+                rows_seen.add(name)
+    return frozenset(hash_seen | {n for n in rows_seen if n not in ORACLES})
 
 
 def _ordered(d: dict) -> dict:

@@ -55,10 +55,14 @@ def _normalize_ts(raw: DataFrame) -> DataFrame:
     return raw
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events stream with the ns→µs ts conversion (same as the batch loader)."""
+def _events_stream(
+    spark: SparkSession, sf_dir: str, path_glob: str | None = None
+) -> DataFrame:
+    """events stream with the ns→µs ts conversion (same as the batch loader).
+    ``path_glob`` overrides the one-file filter for multi-file replay dirs
+    (slicing-invariance tests feed the same rows as N time-ordered files)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _normalize_ts(_stream_table(spark, sf_dir, "events"))
+    return _normalize_ts(_stream_table(spark, sf_dir, "events", path_glob=path_glob))
 
 
 def streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,13 +138,21 @@ def streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def streaming_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_purchase_attribution(
+    spark: SparkSession, sf_dir: str, path_glob: str | None = None
+) -> DataFrame:
     """Stream-stream interval join: each purchase joined to the same user's
     clicks in the hour BEFORE it. Both sides are watermarked so Spark can
     bound the join state (clicks older than purchase-watermark − 1h drop).
     The canonical attribution query at 100 TB — state is per-key and
-    time-bounded, never the whole history."""
-    ev = _events_stream(spark, sf_dir)
+    time-bounded, never the whole history.
+
+    Replay safety: on a TIME-ORDERED multi-batch replay no pair is ever
+    dropped — a purchase in batch N+1 has purchase_ts ≥ batch N's max
+    event time, so every click it can join (click_ts ≥ purchase_ts − 1h)
+    is at or above the watermark when the purchase arrives (proven in
+    tests/test_streaming.py's 4-slice replay)."""
+    ev = _events_stream(spark, sf_dir, path_glob=path_glob)
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
