@@ -436,14 +436,32 @@ def test_attribution_invariant_to_time_ordered_slicing(spark, sf_dir, tmp_path):
         streaming_purchase_attribution,
     )
 
+    import os
+    import shutil
+    import time as time_mod
+    from glob import glob
+
     ev = load_table(spark, sf_dir, "events")
     src = str(tmp_path / "sliced_events")
-    # range-partition on ts: part-00000 holds the earliest range, and the
-    # file source replays paths in order -> a time-ordered 4-batch feed
-    ev.repartitionByRange(4, "ts").write.parquet(src)
+    os.makedirs(src)
+    # 4 contiguous ts-sorted slices written as separate files with STRICTLY
+    # INCREASING mtimes: the file source orders pending files by
+    # modification time, so same-instant part files (one repartitionByRange
+    # write) replay in arbitrary order — not a time-ordered feed at all
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    n = len(pdf)
+    t0 = time_mod.time() - 100
+    for i in range(4):
+        chunk = pdf.iloc[i * n // 4 : (i + 1) * n // 4]
+        stage = str(tmp_path / f"stage_{i}")
+        spark.createDataFrame(chunk).coalesce(1).write.parquet(stage)
+        (part,) = glob(f"{stage}/part-*.parquet")
+        dst = f"{src}/slice_{i:02d}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (t0 + 10 * i, t0 + 10 * i))
 
     sliced = run_to_completion(
-        streaming_purchase_attribution(spark, src, path_glob="part-*.parquet"),
+        streaming_purchase_attribution(spark, src, path_glob="slice_*.parquet"),
         "t_ssj_sliced",
         "append",
     )

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from wordcount_spark.operators.caching import bounded_cache
+
 
 def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """edges(ida, idb) undirected → (id, component) with component = min id
@@ -30,7 +32,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         edges.select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
         .union(edges.select(F.col("idb").alias("src"), F.col("ida").alias("dst")))
         .distinct()
-        .cache()  # re-joined every iteration
+        .transform(bounded_cache)  # re-joined every iteration
     )
     # self-loop keeps a node's own label in the min
     labels = (

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from wordcount_spark.operators.caching import bounded_cache
+
 # Mersenne prime 2^31 - 1: modulus for the affine minhash family. 31 bits
 # keeps a*x+b < 2^62, so the whole pipeline runs in plain 64-bit integers —
 # no DECIMAL/HUGEINT mulmod (measured 20x faster), and exactly the hash
@@ -80,7 +82,7 @@ def jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
     """
     # consumed 3x (sizes + both self-join sides) — pin or the upstream
     # shingling explodes the corpus three times (MEMORY_AND_DISK)
-    shingles = shingles.cache()
+    shingles = bounded_cache(shingles)
     sizes = shingles.groupBy("id").agg(F.count("*").alias("sz"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -190,26 +192,6 @@ def minhash_signatures_arr(
     )
 
 
-#: bound on banded frames pinned at once (ADVICE r3: batch callers return
-#: lazy frames and can't unpersist after the consuming job, so long
-#: sessions running many LSH queries accumulated MEMORY_AND_DISK pins).
-#: Evicting the oldest pin is always safe — an evicted frame that is
-#: re-executed later just recomputes its lineage.
-_BANDED_PIN_MAX = 4
-_banded_pins: list[DataFrame] = []
-
-
-def _pin_banded(df: DataFrame) -> DataFrame:
-    df = df.cache()
-    _banded_pins.append(df)
-    while len(_banded_pins) > _BANDED_PIN_MAX:
-        try:
-            _banded_pins.pop(0).unpersist()
-        except Exception:
-            pass  # session already stopped / frame already unpersisted
-    return df
-
-
 def lsh_banded_index(
     signatures: DataFrame, bands: int, rows: int, hash_mode: str = "xxhash64"
 ) -> DataFrame:
@@ -217,7 +199,7 @@ def lsh_banded_index(
     production LSH pipeline materializes as its standing index table.
     hash_mode='md5' buckets by md5 of the joined slice (portable to the
     SQL oracle); 'xxhash64' uses the cheap murmur hash. The pin is
-    bounded session-wide by :data:`_BANDED_PIN_MAX` (oldest evicted)."""
+    bounded session-wide by operators/caching.py (oldest evicted)."""
 
     def bucket_of(bnd: int) -> Column:
         sl = F.slice("signature", bnd * rows + 1, rows)
@@ -225,7 +207,7 @@ def lsh_banded_index(
             return F.md5(F.array_join(F.transform(sl, lambda v: v.cast("string")), ","))
         return F.hash(sl).cast("string")
 
-    return _pin_banded(
+    return bounded_cache(
         signatures.select(
             "id",
             F.posexplode(F.array(*[bucket_of(bnd) for bnd in range(bands)])).alias(

@@ -21,6 +21,7 @@ from wordcount_spark.operators.dedup import (
 )
 from wordcount_spark.registry import register
 from wordcount_spark.sources.readers import load_table
+from wordcount_spark.operators.caching import bounded_cache
 
 # DuckDB-side shingling (must mirror doc_shingles byte-for-byte):
 # tokens of lower(text), positional 3-gram join by single space, distinct.
@@ -328,7 +329,7 @@ def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bb"),
     ).select(
         "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
-    ).cache()  # self-joined: pin or the 60-bit fingerprint aggregation
+    ).transform(bounded_cache)  # self-joined: pin or the 60-bit fingerprint aggregation
     # (token explode + bit sums) runs once per join side
     a, b = banded.alias("a"), banded.alias("b")
     ham = hamming_distance(F.col("a.simhash"), F.col("b.simhash"))
@@ -474,7 +475,7 @@ def _register_pipeline_curation():
             # cached: the LSH branch (shingle→minhash→pairs) and the final
             # anti-join both consume the survivors — without the cache the
             # scan+gate+exact-dedup lineage runs twice
-            .cache()
+            .transform(bounded_cache)
         )
         sigs = minhash_signatures(doc_shingles(k), num_hashes=32, hash_mode="md5")
         pairs = lsh_candidate_pairs(sigs, bands=8, rows=4, hash_mode="md5")
@@ -635,7 +636,7 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(
             F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), 1, 80
         ).alias("fp"),
-    ).cache()  # self-joined: pin or the full-text normalize runs per side
+    ).transform(bounded_cache)  # self-joined: pin or the full-text normalize runs per side
     a, b = fp.alias("a"), fp.alias("b")
     dist = F.levenshtein(F.col("a.fp"), F.col("b.fp"))
     return (

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from wordcount_spark.operators.relational import dbl, stable_round, stable_round_sql
 from wordcount_spark.registry import register
 from wordcount_spark.sources.readers import load_table
+from wordcount_spark.operators.caching import bounded_cache
 
 # damping 0.85 appears as PAIRED literals 0.85/0.15 in both the Spark loop
 # and the oracle SQL below — a single _D constant would be a trap, because
@@ -103,7 +104,7 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # self-joined below: pin or the distinct (a full shuffle of the
         # fact projection) runs once per join side
-        .cache()
+        .transform(bounded_cache)
     )
     edges = (
         po.alias("a")
@@ -119,7 +120,7 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.join(wout, "src")
         .select("src", "dst", (F.col("w") / F.col("wout")).alias("frac"))
         .repartition(spark.sparkContext.defaultParallelism, "src")
-        .cache()
+        .transform(bounded_cache)
     )
     nodes = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("node")
@@ -236,7 +237,7 @@ def _undirected_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     )
-    return pairs.select("e.u", "e.v").distinct().cache()
+    return pairs.select("e.u", "e.v").distinct().transform(bounded_cache)
 
 
 def _degrees(und: DataFrame) -> DataFrame:
@@ -349,7 +350,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # basket self-expansion of lineitem re-runs up to 5x (no cross-branch
     # exchange reuse). deg is node-cardinality; o is |E| rows of 3 longs —
     # both standard pins for a triangle-count job at any scale.
-    deg = _degrees(und).cache()
+    deg = bounded_cache(_degrees(und))
     # orient: src = lower (degree, id) endpoint; struct comparison gives the
     # lexicographic (d, node) order in both engines
     du, dv = deg.alias("du"), deg.alias("dv")
@@ -370,7 +371,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
             F.when(lower_u, F.col("dv.d")).otherwise(F.col("du.d")).alias("ddst"),
         )
-        .cache()
+        .transform(bounded_cache)
     )
     # one pass builds adjacency, a second scans edges: a triangle x<y<z
     # (in (deg, id) order) is found exactly once, at edge (x→y), as

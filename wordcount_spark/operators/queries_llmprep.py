@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from wordcount_spark.operators.queries_textstats import _TOKS_SQL, _toks
 from wordcount_spark.registry import register
 from wordcount_spark.sources.readers import load_table
+from wordcount_spark.operators.caching import bounded_cache
 
 #: chunk window size / stride (tokens); stride < size ⇒ overlap
 CHUNK_W = 32
@@ -240,7 +241,7 @@ def chunk_dedup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.array_join(F.slice("toks", F.col("start") + 1, F.lit(CHUNK_W)), " ")
         ).alias("h"),
-    ).cache()  # (doc, chunk-hash) grain; the owner-count branch and the
+    ).transform(bounded_cache)  # (doc, chunk-hash) grain; the owner-count branch and the
     # join-back both consume it — without the pin the tokenize + window
     # fingerprint lineage runs twice
     owners = chunks.groupBy("h").agg(
@@ -302,7 +303,7 @@ def mix_rebalance_to_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: the scalar-min branch and the rates branch both consume this
     # O(langs) frame, and Spark does not reuse exchanges across branches —
     # without the cache the documents scan+agg runs twice
-    counts = docs.groupBy("lang").agg(F.count("*").alias("n_orig")).cache()
+    counts = bounded_cache(docs.groupBy("lang").agg(F.count("*").alias("n_orig")))
     min_n = counts.agg(F.min("n_orig").alias("min_n_orig"))
     rates = counts.crossJoin(F.broadcast(min_n)).select(
         "lang",
@@ -422,10 +423,10 @@ def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.withColumn("rn", F.row_number().over(w_dup))
         .where("rn = 1")
         .select("doc_id", "lang", "toks")
-        .cache()
+        .transform(bounded_cache)
     )
     # cached (O(langs)): min branch + rates branch share one aggregation
-    counts = survivors.groupBy("lang").agg(F.count("*").alias("n")).cache()
+    counts = bounded_cache(survivors.groupBy("lang").agg(F.count("*").alias("n")))
     # global min as an agg scalar + broadcast cross-join (unpartitioned
     # WindowExec is banned by tests/test_plan_smells.py — see
     # mix_rebalance_to_min)
@@ -997,7 +998,7 @@ def mix_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(_toks())).cast("long").alias("n")
     )
     # O(sources) frame from here on
-    per_source = per_source.cache()
+    per_source = bounded_cache(per_source)
     tot = per_source.agg(
         F.floor(F.lit(BUDGET_FRAC) * F.sum("n")).cast("long").alias("budget"),
         F.count("*").alias("m"),
@@ -1114,7 +1115,7 @@ def _register_dsir():
         )
         # cached: source counts, target counts, and the scoring join all
         # derive from this exploded frame
-        toks = toks.cache()
+        toks = bounded_cache(toks)
         src = toks.groupBy("tok").agg(F.count("*").alias("c_s"))
         tgt = (
             toks.where(F.col("lang") == DSIR_TARGET_LANG)
@@ -1467,7 +1468,7 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.md5(F.substring("text", 1, 64)).alias("prefix_hash"),
     )
-    per_doc = per_doc.cache()
+    per_doc = bounded_cache(per_doc)
     from pyspark.sql import Window
 
     wr = Window.partitionBy("source").orderBy(F.desc("c"), "lang")

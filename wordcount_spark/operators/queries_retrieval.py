@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from wordcount_spark.operators.relational import stable_round, stable_round_sql
 from wordcount_spark.registry import register
 from wordcount_spark.sources.readers import load_table
+from wordcount_spark.operators.caching import bounded_cache
 
 K1 = 1.2
 B = 0.75
@@ -127,7 +128,7 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cached: the corpus-stats scalar and the unpivot both consume this
     # O(docs) frame; without the cache the token scan runs twice
-    counts = counts.cache()
+    counts = bounded_cache(counts)
     corpus = counts.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from wordcount_spark.operators.relational import dec, stable_round_sql
 from wordcount_spark.registry import register
 from wordcount_spark.sources.readers import load_table
+from wordcount_spark.operators.caching import bounded_cache
 
 #: tiny per-language stopword lexicons (language-ID heuristic)
 LANG_LEXICONS: dict[str, list[str]] = {
@@ -271,7 +272,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(_toks()).alias("tok"))
     # (doc, term) grain — Zipf-compressed vs the raw token stream; pinned
     # because both the df derivation and the scoring join consume it
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).cache()
+    tf = bounded_cache(toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")))
     # df(term) = row count of the per-(doc,term) frame — derived from tf,
     # so the corpus token stream is exploded exactly ONCE (a second
     # countDistinct pass over raw tokens would re-scan everything)
@@ -798,7 +799,7 @@ def unigram_logprob_scores(docs: DataFrame, lowercase: bool = False) -> DataFram
     # cached: the broadcast join probe and the ln(N) total both read the
     # model; without the cache each branch re-runs the vocab aggregation.
     # Vocab-cardinality session pin, accepted (Zipfian: small)
-    model = toks.groupBy("tok").agg(F.count("*").alias("c")).cache()
+    model = bounded_cache(toks.groupBy("tok").agg(F.count("*").alias("c")))
     total = model.agg(F.log(F.sum("c").cast("double")).alias("ln_n"))
     return (
         # model is vocabulary-sized (grows with the corpus): no broadcast
@@ -1045,7 +1046,7 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = toks.select(F.explode("t").alias("w"))
     # Vocab-cardinality session pin, accepted (Zipfian: small); reused as
     # both marginals and for the unigram total
-    model = uni.groupBy("w").agg(F.count("*").alias("c")).cache()
+    model = bounded_cache(uni.groupBy("w").agg(F.count("*").alias("c")))
     n_uni = model.agg(F.sum("c").cast("double").alias("n_uni"))
     bgall = (
         toks.where(F.size("t") >= 2)
@@ -1059,7 +1060,7 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c_ab"))
         # distinct-bigram grain (Zipfian-small); pinned — the total and the
         # support-filtered model branch both consume it
-        .cache()
+        .transform(bounded_cache)
     )
     n_bi = bgall.agg(F.sum("c_ab").cast("double").alias("n_bi"))
     bgc = bgall.where(F.col("c_ab") >= 5)
@@ -1193,7 +1194,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", _toks(F.lower("text")).alias("t"))
     uni = toks.select(F.explode("t").alias("w"))
     # Vocab-cardinality session pin, accepted (Zipfian: small)
-    model1 = uni.groupBy("w").agg(F.count("*").alias("c")).cache()
+    model1 = bounded_cache(uni.groupBy("w").agg(F.count("*").alias("c")))
     n_uni = model1.agg(F.sum("c").cast("double").alias("n_uni"))
     bg = (
         toks.where(F.size("t") >= 2)
@@ -1972,7 +1973,7 @@ def text_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w"),
     )
     # pinned: the pair join consumes it twice and the norms once
-    w = w.cache()
+    w = bounded_cache(w)
     norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nsq"))
     a, b = w.alias("a"), w.alias("b")
     dots = (

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from wordcount_spark.operators.relational import dec
 from wordcount_spark.registry import register
 from wordcount_spark.sources.readers import load_table
+from wordcount_spark.operators.caching import bounded_cache
 
 
 def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,7 +264,7 @@ def events_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     one result, the day grain re-aggregated FROM the hour aggregate (never
     from raw — see module docstring for why this beats grouping-sets at
     scale)."""
-    hourly = _hourly(spark, sf_dir).cache()
+    hourly = bounded_cache(_hourly(spark, sf_dir))
     hour_out = hourly.select(
         F.lit("hour").alias("grain"),
         F.col("bucket_hour").alias("bucket"),
@@ -910,7 +911,7 @@ def events_median_session_duration(spark: SparkSession, sf_dir: str) -> DataFram
     dur = sess.groupBy("user_id", "sid").agg(
         (F.max("ts").cast("long") - F.min("ts").cast("long")).alias("d")
     )
-    dur = dur.cache()
+    dur = bounded_cache(dur)
     bucket = F.floor(F.col("d") / 60).cast("long")
     hist = sorted(
         dur.groupBy(bucket.alias("b")).agg(F.count("*").alias("c")).collect(),

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from wordcount_spark.operators.relational import dec
 from wordcount_spark.registry import register
 from wordcount_spark.sources.readers import load_table
+from wordcount_spark.operators.caching import bounded_cache
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -322,7 +323,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         # distinct AQE stage ids), so without the cache the lineitem
         # scan+agg runs twice. Session-lifetime pin, accepted: the frame
         # is supplier-cardinality (a few MB even at SF100)
-        .cache()
+        .transform(bounded_cache)
     )
     peak = revenue.agg(F.max("total_revenue").alias("peak_revenue"))
     return (
@@ -892,7 +893,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cached so the threshold agg and the filter branch share ONE
         # lineitem scan (no cross-branch exchange reuse otherwise);
         # part-cardinality pin for the session, accepted
-        .cache()
+        .transform(bounded_cache)
     )
     total = per_part.agg((F.lit(0.001) * F.sum("val").cast("double")).alias("threshold"))
     return (

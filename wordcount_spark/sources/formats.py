@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from wordcount_spark.operators.caching import bounded_cache
+
 
 def write_table(df: DataFrame, path: str, fmt: str = "parquet", **options) -> None:
     """Format-dispatched sink. Example: partitioned lake layout —
@@ -182,7 +184,7 @@ def read_json_quarantine(
     # Spark requires caching/materializing before filtering on the corrupt
     # column alone (the parser prunes otherwise); a checkpoint-free way is
     # referencing data columns in the same select.
-    raw = raw.cache()
+    raw = bounded_cache(raw)
     good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
         F.col("_corrupt_record").alias("raw")
