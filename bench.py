@@ -141,6 +141,33 @@ def _materialize_8x_corpus(paths: list[str], scratch: str) -> list[str]:
     return out_paths + have
 
 
+#: post/pre CPU-calibration ratio above which the run is marked noisy:
+#: the pre-run load gate only sees neighbors present BEFORE the run; a
+#: neighbor arriving mid-run (observed r4: load 0.3 → 11 during one run,
+#: inflating queries ~1.1-1.7x) is caught by re-timing a fixed CPU-bound
+#: probe after the headline loop and comparing to its pre-loop time.
+CALIB_DRIFT_NOISY = 1.35
+
+
+def _cpu_calibration(spark, n: int = 3) -> float:
+    """Best-of-n wall time of a fixed CPU-bound probe (200M xxhash64 sums
+    across all cores, no I/O, no shuffle beyond the 1-row agg): a pure
+    contention thermometer, insensitive to page cache or data layout."""
+    from pyspark.sql import functions as F
+
+    def run() -> float:
+        t0 = time.monotonic()
+        # max, not sum: an ANSI-mode BIGINT sum of 2e8 full-range hashes
+        # overflows; max still evaluates every hash
+        spark.range(200_000_000).agg(
+            F.max(F.xxhash64("id"))
+        ).collect()
+        return time.monotonic() - t0
+
+    run()  # warm: JIT/codegen
+    return min(run() for _ in range(n))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -153,6 +180,7 @@ def main() -> None:
     spark = get_spark("wordcount_spark_bench", cpus=cpus)
     queries = get_queries()
 
+    calib_pre = _cpu_calibration(spark)
     timings: dict[str, float] = {}
     query_load: dict[str, float] = {}
     for name in HEADLINE:
@@ -171,6 +199,7 @@ def main() -> None:
             best = min(best, time.monotonic() - t0)
         timings[name] = round(best, 4)
 
+    calib_post = _cpu_calibration(spark)
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline_queries_total",
@@ -185,7 +214,15 @@ def main() -> None:
         "host_load_avg_1m": round(os.getloadavg()[0], 2),
         "host_load_avg_1m_prerun": round(prerun_load, 2),
         "query_load_1m": query_load,
-        "noisy": prerun_load > NOISE_LOAD_1M,
+        # fixed CPU probe timed before/after the headline loop: drift
+        # means a neighbor arrived mid-run, which the pre-run load gate
+        # cannot see
+        "cpu_calib_pre_sec": round(calib_pre, 4),
+        "cpu_calib_post_sec": round(calib_post, 4),
+        "noisy": (
+            prerun_load > NOISE_LOAD_1M
+            or calib_post > CALIB_DRIFT_NOISY * calib_pre
+        ),
     }
 
     # Apples-to-apples vs the reference's ONE compute-derived number: its

@@ -47,7 +47,16 @@ def main() -> int:
     for label, run in (("old", old), ("new", new)):
         load = run.get("host_load_avg_1m_prerun", run.get("host_load_avg_1m"))
         noisy = run.get("noisy", load is not None and load > NOISE_LOAD_1M)
-        print(f"{label}: total={run['value']}s sf={run['sf']} prerun_load={load} noisy={noisy}")
+        calib = ""
+        if "cpu_calib_pre_sec" in run:
+            calib = (
+                f" calib={run['cpu_calib_pre_sec']}->"
+                f"{run['cpu_calib_post_sec']}s"
+            )
+        print(
+            f"{label}: total={run['value']}s sf={run['sf']} "
+            f"prerun_load={load} noisy={noisy}{calib}"
+        )
         if noisy:
             refused = True
     if refused and not args.force:
