@@ -180,26 +180,44 @@ def main() -> None:
     spark = get_spark("wordcount_spark_bench", cpus=cpus)
     queries = get_queries()
 
-    calib_pre = _cpu_calibration(spark)
-    timings: dict[str, float] = {}
-    query_load: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in queries:
-            continue
-        query_load[name] = round(os.getloadavg()[0], 2)
-        df = queries[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm: JIT/codegen
-        best = float("inf")
-        # best-of-3: this box's EXTERNAL load swings 0.7→11 within minutes
-        # (measured round 3) and inflates identical runs ~10%; the floor of
-        # three samples is markedly more stable than of two
-        for _ in range(3):
-            t0 = time.monotonic()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 4)
+    def headline_pass():
+        pre = _cpu_calibration(spark)
+        timings: dict[str, float] = {}
+        query_load: dict[str, float] = {}
+        for name in HEADLINE:
+            if name not in queries:
+                continue
+            query_load[name] = round(os.getloadavg()[0], 2)
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()  # warm: JIT/codegen
+            best = float("inf")
+            # best-of-3: this box's EXTERNAL load swings 0.7→11 within
+            # minutes (measured round 3) and inflates identical runs ~10%;
+            # the floor of three samples is markedly more stable than of two
+            for _ in range(3):
+                t0 = time.monotonic()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.monotonic() - t0)
+            timings[name] = round(best, 4)
+        post = _cpu_calibration(spark)
+        return timings, query_load, pre, post
 
-    calib_post = _cpu_calibration(spark)
+    # retry-once-on-drift: this host's hypervisor steals CPU episodically
+    # (nonzero cumulative %steal; loadavg never sees it), so a single pass
+    # can straddle a steal window even after the pre-run load gate. One
+    # retry usually lands inside a stable window; if both passes drift the
+    # emission is marked noisy and bench_compare refuses it.
+    for _attempt in range(2):
+        timings, query_load, calib_pre, calib_post = headline_pass()
+        drift = max(calib_pre, calib_post) / max(min(calib_pre, calib_post), 1e-9)
+        if drift <= CALIB_DRIFT_NOISY:
+            break
+        print(
+            f"bench: calib drift {drift:.2f} ({calib_pre:.3f}s -> "
+            f"{calib_post:.3f}s), retrying headline pass",
+            file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline_queries_total",
@@ -219,9 +237,16 @@ def main() -> None:
         # cannot see
         "cpu_calib_pre_sec": round(calib_pre, 4),
         "cpu_calib_post_sec": round(calib_post, 4),
+        # bidirectional drift: post >> pre means a neighbor ARRIVED
+        # mid-run; pre >> post means the box was still winding down when
+        # the run started (seen r4: calib 0.25 -> 0.12 under prerun load
+        # 0.05 right after a long sweep) — either way the per-query
+        # timings were taken under CHANGING conditions and can't be
+        # compared round-over-round
         "noisy": (
             prerun_load > NOISE_LOAD_1M
-            or calib_post > CALIB_DRIFT_NOISY * calib_pre
+            or max(calib_pre, calib_post)
+            > CALIB_DRIFT_NOISY * min(calib_pre, calib_post)
         ),
     }
 
