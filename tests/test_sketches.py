@@ -88,3 +88,69 @@ def test_candidates_are_superset_not_exact(spark):
         r["tok"] for r in misra_gries_candidates(toks, "tok", 128).distinct().collect()
     }
     assert {t for t, _ in exact} <= cand
+
+
+# --- property tests on the pure fold (no SparkSession) ----------------------
+
+from collections import Counter
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from wordcount_spark.operators.sketches import mg_fold
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    batches=st.lists(
+        st.lists(st.integers(0, 60), min_size=0, max_size=300),
+        min_size=0,
+        max_size=8,
+    ),
+    capacity=st.integers(2, 24),
+)
+def test_mg_fold_superset_property(batches, capacity):
+    """For ANY batch slicing and capacity: every key with true count
+    STRICTLY above total/(capacity+1) must survive the fold (the superset
+    guarantee pass 2 relies on), and the fold never keeps more than
+    ``capacity`` counters, each undercounting by at most
+    total/(capacity+1)."""
+    truth = Counter(t for b in batches for t in b)
+    total = sum(truth.values())
+    acc = mg_fold(
+        (pd.Series(b, dtype=object).value_counts() for b in batches), capacity
+    )
+    assert len(acc) <= capacity
+    bound = total / (capacity + 1)
+    survivors = set(acc.index)
+    for key, cnt in truth.items():
+        if cnt > bound:
+            assert key in survivors, (
+                f"heavy key {key} (count {cnt} > bound {bound:.1f}) evicted"
+            )
+    # per-key undercount bound: stored count is within [true - bound, true]
+    for key, stored in acc.items():
+        assert stored <= truth[key] + 1e-9
+        assert stored >= truth[key] - bound - 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    tokens=st.lists(st.integers(0, 40), min_size=0, max_size=600),
+    capacity=st.integers(2, 16),
+    cut=st.integers(0, 600),
+)
+def test_mg_fold_batch_slicing_superset_invariant(tokens, capacity, cut):
+    """Slicing the same stream into different batch boundaries may change
+    WHICH extra keys survive, but never loses a guaranteed-heavy key."""
+    cut = min(cut, len(tokens))
+    truth = Counter(tokens)
+    total = len(tokens)
+    bound = total / (capacity + 1)
+    heavy = {k for k, c in truth.items() if c > bound}
+    for slicing in ([tokens], [tokens[:cut], tokens[cut:]]):
+        acc = mg_fold(
+            (pd.Series(b, dtype=object).value_counts() for b in slicing), capacity
+        )
+        assert heavy <= set(acc.index)

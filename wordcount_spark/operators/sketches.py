@@ -54,6 +54,22 @@ def _compress(acc: pd.Series, capacity: int) -> pd.Series:
     return acc[vals > pivot] - pivot
 
 
+def mg_fold(value_count_batches: Iterator[pd.Series], capacity: int) -> pd.Series:
+    """The pure Misra-Gries fold both mapInPandas summarizers run: merge
+    per-batch exact ``value_counts`` Series (index-aligned add), compress
+    lazily past 4×capacity, compress to ≤ capacity at the end. Exposed at
+    module level so the superset guarantee is property-testable without a
+    SparkSession (tests/test_sketches.py)."""
+    acc: pd.Series | None = None
+    for vc in value_count_batches:
+        acc = vc if acc is None else acc.add(vc, fill_value=0)
+        if len(acc) > 4 * capacity:
+            acc = _compress(acc, capacity)
+    if acc is not None and len(acc) > capacity:
+        acc = _compress(acc, capacity)
+    return pd.Series(dtype="int64") if acc is None else acc
+
+
 def misra_gries_summary(df: DataFrame, col: str, capacity: int) -> DataFrame:
     """Per-partition MG summary in ONE pass over the stream: ≤ ``capacity``
     candidate rows per partition (``part_total`` NULL) plus exactly one
@@ -67,17 +83,16 @@ def misra_gries_summary(df: DataFrame, col: str, capacity: int) -> DataFrame:
     """
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: pd.Series | None = None
-        total = 0
-        for pdf in batches:
-            total += len(pdf)
-            vc = pdf[col].value_counts()
-            acc = vc if acc is None else acc.add(vc, fill_value=0)
-            if len(acc) > 4 * capacity:
-                acc = _compress(acc, capacity)
-        if acc is not None and len(acc) > capacity:
-            acc = _compress(acc, capacity)
-        keys = [] if acc is None else list(acc.index)
+        totals = []
+
+        def vcs():
+            for pdf in batches:
+                totals.append(len(pdf))
+                yield pdf[col].value_counts()
+
+        acc = mg_fold(vcs(), capacity)
+        total = sum(totals)
+        keys = list(acc.index)
         yield pd.DataFrame(
             {
                 col: keys + [None],
@@ -99,21 +114,20 @@ def misra_gries_summary_arrays(
     whenever the tokens already exist as an array upstream."""
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: pd.Series | None = None
-        total = 0
-        for pdf in batches:
-            if len(pdf):
-                toks = np.concatenate(pdf[arr_col].to_numpy())
-            else:
-                toks = np.array([], dtype=object)
-            total += len(toks)
-            vc = pd.Series(toks).value_counts()
-            acc = vc if acc is None else acc.add(vc, fill_value=0)
-            if len(acc) > 4 * capacity:
-                acc = _compress(acc, capacity)
-        if acc is not None and len(acc) > capacity:
-            acc = _compress(acc, capacity)
-        keys = [] if acc is None else list(acc.index)
+        totals = []
+
+        def vcs():
+            for pdf in batches:
+                if len(pdf):
+                    toks = np.concatenate(pdf[arr_col].to_numpy())
+                else:
+                    toks = np.array([], dtype=object)
+                totals.append(len(toks))
+                yield pd.Series(toks).value_counts()
+
+        acc = mg_fold(vcs(), capacity)
+        total = sum(totals)
+        keys = list(acc.index)
         yield pd.DataFrame(
             {
                 out_col: keys + [None],
