@@ -349,10 +349,13 @@ def doc_shingle_hashes(
     (mod P). Skips the concat + per-shingle re-hash of the string path —
     measured ~10% faster end-to-end on the sf0.1 LSH pipeline (the hash
     stage itself is the part that shrinks), and the savings grow with
-    shingle width n since the string path re-reads each token n times. Fast-path only (rows-only contract): the combined
-    hash has no SQL twin, and polynomial collisions, while negligible
-    (~|shingles|²/2P per doc), make it a different function than
-    hash(concat)."""
+    shingle width n since the string path re-reads each token n times.
+    Since r4 this path has a FULL SQL twin: operators/xxh64_sql.py
+    generates a DuckDB pipeline computing Spark's exact xxhash64, so the
+    combined hash is differentially checked end to end (polynomial
+    collisions, while negligible ~|shingles|²/2P per doc, make it a
+    different function than hash(concat) — both engines compute the SAME
+    function, collisions included)."""
     toks = F.filter(
         F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit("")
     )

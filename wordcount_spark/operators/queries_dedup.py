@@ -175,13 +175,74 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh_fast")  # rows-only: xxhash64 has no SQL twin
+def _minhash_fast_sql(num_hashes: int = 32, bands: int = 8, rows: int = 4) -> str:
+    """DuckDB rendering of the PRODUCTION (xxhash64) MinHash+LSH pipeline:
+    the generated XXH64 pipeline (operators/xxh64_sql.py — Spark's exact
+    hash, validated byte-for-byte in tests/test_xxh64_sql.py) hashes each
+    DISTINCT token once, per-doc hash arrays rebuild positionally, and the
+    trigram polynomial combine / affine minhash / banding replay the Spark
+    side exactly. Buckets group on the band's VALUE slice rather than
+    Spark's murmur bucket hash — identical pair semantics up to a ~2^-32
+    murmur collision that would also be a (documented) false candidate on
+    the Spark side."""
+    from wordcount_spark.operators.xxh64_sql import xxh64_pipeline_sql
+
+    params = _affine_params(num_hashes)
+    values = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(params))
+    vh = xxh64_pipeline_sql("SELECT DISTINCT tok FROM pos")
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+      FROM t
+    ),
+    vh AS (SELECT tok, th FROM ({vh})),
+    arr AS (
+      SELECT doc_id, list(th ORDER BY pos) AS ths
+      FROM pos JOIN vh USING (tok)
+      GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT doc_id AS id,
+             unnest(list_distinct(
+               CASE WHEN len(ths) >= 3
+                    THEN list_transform(range(1, len(ths) - 1),
+                         i -> ((ths[i]*8387 + ths[i+1]) % {_P} * 8387
+                               + ths[i+2]) % {_P})
+                    ELSE [] END)) AS x
+      FROM arr
+    ),
+    params(i, a, b) AS (SELECT * FROM (VALUES {values})),
+    m AS (
+      SELECT id, i, min((a * x + b) % {_P}) AS h
+      FROM sh CROSS JOIN params GROUP BY id, i
+    ),
+    sig AS (SELECT id, list(h ORDER BY i) AS sig FROM m GROUP BY id),
+    banded AS (
+      SELECT id, band,
+             array_to_string(sig[band*{rows}+1:band*{rows}+{rows}], ',') AS bucket
+      FROM sig CROSS JOIN (SELECT unnest(range({bands})) AS band)
+    )
+    {_LSH_FINAL_ALL}
+    """
+
+
+@register("dedup_minhash_lsh_fast", _minhash_fast_sql())
 def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-path MinHash+LSH: tokens hashed ONCE (xxhash64), trigram
     shingle hashes formed by polynomial combination — shingle strings are
     never materialized (~30% cheaper than hash(concat), more at larger n).
     Same signature family, banding, and pair semantics as the oracle-backed
-    md5 variant; benched as the scale path."""
+    md5 variant; benched as the scale path. STRONG oracle (upgraded from
+    rows-only in r4): DuckDB reproduces Spark's xxhash64 bit-for-bit via
+    the generated pipeline in operators/xxh64_sql.py, so the EXACT
+    production signatures — not a portable stand-in — are differentially
+    checked end to end."""
     from wordcount_spark.operators.dedup import (
         doc_shingle_hashes,
         minhash_signatures_from_hashes,
