@@ -494,9 +494,97 @@ def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_STEPS = 5
 
 
-@register("bpe_learn_merges", eager=True)  # rows-only: merge APPLICATION is a
-# fold over symbol arrays — not SQL-expressible; differentially tested
-# against an independent Python BPE model in tests/test_timeseries_llmprep.py
+def _bpe_sql(final: str) -> str:
+    """DuckDB rendering of the 5-step BPE trainer, UNROLLED (fixed
+    _BPE_STEPS makes the data-dependent loop a bounded CTE chain, the
+    same move as the unrolled PageRank oracle). The Spark side's greedy
+    left-to-right merge fold is equivalent to: mark matching positions,
+    group consecutive positions into runs, merge the even offsets of each
+    run (overlaps only occur when left==right, argued in the docstring
+    of ``bpe_learn_merges``); the rebuild keeps a position unless it is
+    the second half of a merge. Ties on the winning pair break
+    (weight DESC, left, right) on both engines. Precondition (same as the
+    Spark side never hitting its early break): ≥1 adjacent pair exists at
+    every step — holds whenever any ≥(steps+1)-char word survives the
+    normalizer."""
+    from wordcount_spark.functions.text import normalize_word_sql
+
+    norm = normalize_word_sql("tok")
+    blocks = [
+        f"""
+    toks AS (
+      SELECT unnest(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+')) AS tok
+      FROM documents
+    ),
+    words AS (SELECT {norm} AS word FROM toks WHERE tok <> ''),
+    vocab AS (
+      SELECT word, count(*) AS wt FROM words
+      WHERE length(word) > 0 GROUP BY word
+    ),
+    s0 AS MATERIALIZED (
+      SELECT word, wt,
+             list_transform(range(1, length(word) + 1),
+                            i -> substr(word, i::BIGINT, 1)) AS s
+      FROM vocab
+    )"""
+    ]
+    for k in range(1, _BPE_STEPS + 1):
+        p = k - 1
+        blocks.append(f"""
+    p{k} AS MATERIALIZED (
+      SELECT word, wt, s, unnest(range(1, len(s))) AS i FROM s{p}
+    ),
+    top{k} AS (
+      SELECT l, r, l || r AS lr, CAST(w AS BIGINT) AS w FROM (
+        SELECT s[i] AS l, s[i+1] AS r, sum(wt) AS w
+        FROM p{k} GROUP BY 1, 2
+      ) ORDER BY w DESC, l, r LIMIT 1
+    ),
+    mg{k} AS MATERIALIZED (
+      SELECT word, i FROM (
+        SELECT word, i,
+               (i - min(i) OVER (PARTITION BY word, g)) % 2 AS par
+        FROM (
+          SELECT word, i,
+                 i - row_number() OVER (PARTITION BY word ORDER BY i) AS g
+          FROM p{k}, top{k} t
+          WHERE s[i] = t.l AND s[i+1] = t.r
+        )
+      ) WHERE par = 0
+    ),
+    s{k} AS MATERIALIZED (
+      SELECT q.word, q.wt,
+             list(CASE WHEN m.i IS NOT NULL THEN t.lr
+                       ELSE q.s[q.pos] END ORDER BY q.pos) AS s
+      FROM (SELECT word, wt, s, unnest(range(1, len(s) + 1)) AS pos
+            FROM s{p}) q
+      LEFT JOIN mg{k} m ON m.word = q.word AND m.i = q.pos
+      LEFT JOIN mg{k} m2 ON m2.word = q.word AND m2.i = q.pos - 1
+      CROSS JOIN top{k} t
+      WHERE m2.i IS NULL
+      GROUP BY q.word, q.wt
+    )""")
+    return "WITH " + ",".join(blocks) + final
+
+
+_BPE_LEARN_FINAL = "\n    " + "\n    UNION ALL ".join(
+    f'SELECT CAST({k - 1} AS INTEGER) AS step, l AS "left", r AS "right", '
+    f"w AS weight FROM top{k}"
+    for k in range(1, _BPE_STEPS + 1)
+) + "\n    ORDER BY step"
+
+_BPE_APPLY_FINAL = f"""
+    SELECT word, wt AS n_occurrences,
+           array_to_string(s, ' ') AS pieces,
+           CAST(len(s) AS BIGINT) AS n_pieces,
+           CAST(len(s) * wt AS BIGINT) AS corpus_pieces
+    FROM s{_BPE_STEPS} ORDER BY word
+"""
+
+
+# STRONG oracle (upgraded from rows-only in r4): the fixed-step trainer
+# unrolls into SQL; greedy merge application = runs-parity windows.
+@register("bpe_learn_merges", _bpe_sql(_BPE_LEARN_FINAL), eager=True)
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary induction (the tokenizer-training step of
     an LLM data pipeline): K iterations of count-adjacent-symbol-pairs →
@@ -584,9 +672,10 @@ def _learn_bpe(spark: SparkSession, sf_dir: str):
     return merges, syms
 
 
-@register("bpe_apply_segment", eager=True)  # rows-only: the greedy fold is
-# not SQL-expressible; differential test vs the independent Python BPE in
-# tests/test_timeseries_llmprep.py covers learn AND apply together
+# STRONG oracle (upgraded from rows-only in r4): the same unrolled SQL
+# chain segments the vocabulary; the independent Python BPE differential
+# (tests/test_timeseries_llmprep.py) remains as the third implementation.
+@register("bpe_apply_segment", _bpe_sql(_BPE_APPLY_FINAL), eager=True)
 def bpe_apply_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLICATION, completing the BPE story (learn → apply →
     count): segment every distinct corpus word with the learned merges and
