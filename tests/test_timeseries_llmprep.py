@@ -273,3 +273,29 @@ def test_pack_sequences_invariants(spark):
         .count()
     )
     assert gaps == 0
+
+
+def test_kmv_rollup_estimator_quality(spark):
+    """The KMV estimate must be exact below K and within the standard
+    ~1/sqrt(K) relative-error envelope above it — and the test data must
+    exercise BOTH paths (else the estimator arm is dead code here).
+    Runs at the oracle SF: at sf0.001 every (day, type) group has fewer
+    than K distinct users and the estimator arm never fires."""
+    from tests.conftest import SF_DIR_ORACLE
+    from wordcount_spark.operators.queries_timeseries import (
+        _KMV_K,
+        events_kmv_rollup,
+    )
+
+    rows = events_kmv_rollup(spark, SF_DIR_ORACLE).collect()
+    assert rows
+    exact_path = estimated_path = 0
+    for r in rows:
+        if r["n_users_exact"] < _KMV_K:
+            exact_path += 1
+            assert r["n_users_kmv"] == r["n_users_exact"], r
+        else:
+            estimated_path += 1
+            rel = abs(r["n_users_kmv"] - r["n_users_exact"]) / r["n_users_exact"]
+            assert rel <= 3.0 / (_KMV_K ** 0.5), (r, rel)
+    assert exact_path and estimated_path, (exact_path, estimated_path)

@@ -297,7 +297,10 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No SQL oracle: DataSketches HLL internals are engine-specific (DuckDB
     approx_distinct uses a different sketch) — rows-only in the contract,
-    error-bounded in tests/test_timeseries_llmprep.py."""
+    error-bounded in tests/test_timeseries_llmprep.py. The KMV twin below
+    (``events_kmv_rollup``) is the same rollup shape with a BIT-EXACT
+    cross-engine oracle — its sketch state is deterministic integers
+    given the portable xxhash64."""
     ev = load_table(spark, sf_dir, "events")
     hour = ev.groupBy(
         F.date_trunc("hour", "ts").alias("bucket_hour"), "event_type"
@@ -313,6 +316,130 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count_distinct("user_id").alias("n_users_exact"))
     return (
         day_est.join(day_exact, ["bucket_day", "event_type"])
+        .orderBy("bucket_day", "event_type")
+    )
+
+
+def _kmv_oracle(k: int) -> str:
+    from wordcount_spark.operators.xxh64_sql import xxh64_pipeline_sql
+
+    vh = xxh64_pipeline_sql(
+        "SELECT DISTINCT user_id::VARCHAR AS tok FROM events"
+    )
+    return f"""
+    WITH u AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d, date_trunc('hour', ts) AS h,
+             event_type AS et, user_id
+      FROM events
+    ),
+    vh AS (SELECT tok, th FROM ({vh})),
+    thr AS (
+      SELECT DISTINCT d, et, h, th
+      FROM u JOIN vh ON vh.tok = u.user_id::VARCHAR
+    ),
+    hk AS (
+      SELECT d, et, h, th FROM (
+        SELECT *, row_number() OVER (PARTITION BY d, et, h ORDER BY th) AS rk
+        FROM thr) t WHERE rk <= {k}
+    ),
+    dk AS (
+      SELECT d, et, th FROM (
+        SELECT *, row_number() OVER (PARTITION BY d, et ORDER BY th) AS rk
+        FROM (SELECT DISTINCT d, et, th FROM hk) x) t WHERE rk <= {k}
+    ),
+    ds AS (SELECT d, et, count(*) AS kmv_n, max(th) AS kth
+           FROM dk GROUP BY 1, 2),
+    nh AS (SELECT d, et, count(DISTINCT h) AS n_hours FROM hk GROUP BY 1, 2),
+    ex AS (SELECT date_trunc('day', ts) AS d, event_type AS et,
+                  count(DISTINCT user_id) AS n_users_exact
+           FROM events GROUP BY 1, 2)
+    SELECT CAST(ds.d AS TIMESTAMP) AS bucket_day, ds.et AS event_type,
+           CAST(nh.n_hours AS BIGINT) AS n_hours,
+           CAST(CASE WHEN kmv_n < {k} THEN kmv_n
+                     ELSE CAST({k} - 1 AS BIGINT) * CAST(2147483647 AS BIGINT)
+                          // kth END AS BIGINT)
+             AS n_users_kmv,
+           CAST(n_users_exact AS BIGINT) AS n_users_exact
+    FROM ds JOIN nh USING (d, et)
+    JOIN ex ON ex.d = ds.d AND ex.et = ds.et
+    ORDER BY bucket_day, event_type
+    """
+
+
+_KMV_K = 64
+
+
+@register("events_kmv_rollup", _kmv_oracle(_KMV_K))
+def events_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup with a BIT-EXACT oracle: per-hour K-minimum-
+    values sketches (K=64) of distinct users, merged to day grain, only
+    then estimated — the same pre-aggregation shape as the HLL rollup
+    above, but the sketch state is a deterministic integer set given the
+    portable xxhash64 (operators/xxh64_sql.py), so BOTH engines compute
+    identical states AND identical estimates: a hash-compared differential
+    check of a sketch pipeline, which engine-specific HLL can never have.
+
+    The hour→day merge is provably lossless for the K smallest: a value
+    in the day's K smallest has ≤ K-1 day values below it, hence ≤ K-1
+    within its own hour — so it survives its hour's cut. Estimate =
+    (K-1)·P div kth (integer arithmetic; exact count when fewer than K
+    distinct hashes exist). The exact day distinct is the audit column.
+
+    Scale: the rank-≤-K per (day, type, hour) is a WindowGroupLimit —
+    Spark pushes the top-K into each mapper, so the exchange carries
+    O(groups×K) rows, not raw users; the day merge reads ≤ 24K rows per
+    (day, type). The exact audit column is the one full distinct shuffle
+    — production drops it and keeps only the sketch path.
+    """
+    from pyspark.sql import Window
+
+    from wordcount_spark.operators.dedup import base_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    thr = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("d"),
+            F.date_trunc("hour", "ts").alias("h"),
+            F.col("event_type").alias("et"),
+            base_hash(F.col("user_id").cast("string")).alias("th"),
+        )
+        .distinct()
+    )
+    wh = Window.partitionBy("d", "et", "h").orderBy("th")
+    hk = (
+        thr.withColumn("rk", F.row_number().over(wh))
+        .where(F.col("rk") <= _KMV_K)
+        .select("d", "et", "h", "th")
+    )
+    wd = Window.partitionBy("d", "et").orderBy("th")
+    dk = (
+        hk.select("d", "et", "th")
+        .distinct()
+        .withColumn("rk", F.row_number().over(wd))
+        .where(F.col("rk") <= _KMV_K)
+    )
+    ds = dk.groupBy("d", "et").agg(
+        F.count("*").alias("kmv_n"), F.max("th").alias("kth")
+    )
+    nh = hk.groupBy("d", "et").agg(F.count_distinct("h").alias("n_hours"))
+    ex = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"), F.col("event_type").alias("et")
+    ).agg(F.count_distinct("user_id").alias("n_users_exact"))
+    est = F.when(F.col("kmv_n") < _KMV_K, F.col("kmv_n")).otherwise(
+        F.expr(
+            f"CAST({_KMV_K} - 1 AS BIGINT) * CAST(2147483647 AS BIGINT) div kth"
+        )
+    )
+    return (
+        ds.join(nh, ["d", "et"])
+        .join(ex, ["d", "et"])
+        .select(
+            F.col("d").alias("bucket_day"),
+            F.col("et").alias("event_type"),
+            F.col("n_hours").cast("long").alias("n_hours"),
+            est.cast("long").alias("n_users_kmv"),
+            F.col("n_users_exact").cast("long").alias("n_users_exact"),
+        )
         .orderBy("bucket_day", "event_type")
     )
 
