@@ -141,6 +141,45 @@ def _materialize_8x_corpus(paths: list[str], scratch: str) -> list[str]:
     return out_paths + have
 
 
+#: hard byte budget for the final stdout JSON line. The driver captures
+#: only the last ~2000 bytes of stdout and json-parses the final line;
+#: round 4's line grew past that window and the official bench artifact
+#: landed with "parsed": null (VERDICT r4 item 1). 1800 leaves headroom
+#: for the trailing newline and any stray runtime warning bytes.
+LINE_BUDGET = 1800
+
+#: sidecar (committed) holding the full diagnostic detail that round 4
+#: used to put on the stdout line: per-query load stamps, CPU
+#: calibration pair, stage breakdowns. Nothing is lost — it just no
+#: longer competes with the headline line for the driver's tail buffer.
+DETAIL_SIDECAR = os.path.join(_REPO_ROOT, "BENCH_detail.json")
+
+
+def _emit_final_line(out: dict, detail: dict) -> None:
+    """Write the full record to the sidecar, then print a compact
+    headline JSON as the LAST stdout line, mechanically enforcing
+    LINE_BUDGET: optional fields are shed (never ``queries`` — the
+    per-query timings ARE the round-over-round signal) until the line
+    fits, and the shed keys remain readable in the sidecar."""
+    with open(DETAIL_SIDECAR, "w") as f:
+        json.dump({**out, "detail": detail}, f, indent=1, sort_keys=True)
+    line = json.dumps(out, separators=(",", ":"))
+    # shed order: diagnostics first, spec-required fields never
+    for key in ("reference_corpus_8x_mb_per_sec", "reference_corpus_mb_per_sec",
+                "host_load_avg_1m_prerun", "noisy"):
+        if len(line) <= LINE_BUDGET:
+            break
+        out.pop(key, None)
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > LINE_BUDGET:  # still over: queries list itself grew —
+        # keep the slowest 25 (signal-bearing) and note the truncation
+        top = dict(sorted(out["queries"].items(), key=lambda kv: -kv[1])[:25])
+        out["queries"] = top
+        out["queries_truncated"] = True
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
+
+
 #: post/pre CPU-calibration ratio above which the run is marked noisy:
 #: the pre-run load gate only sees neighbors present BEFORE the run; a
 #: neighbor arriving mid-run (observed r4: load 0.3 → 11 during one run,
@@ -225,29 +264,35 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        # contention context: this box is shared — external load inflates
-        # wall-clock up to ~2x (measured). prerun load is the EXTERNAL
-        # load (sampled before our JVM spins up); per-query loads include
-        # our own threads and bound how contended each timing was.
-        "host_load_avg_1m": round(os.getloadavg()[0], 2),
         "host_load_avg_1m_prerun": round(prerun_load, 2),
-        "query_load_1m": query_load,
-        # fixed CPU probe timed before/after the headline loop: drift
-        # means a neighbor arrived mid-run, which the pre-run load gate
-        # cannot see
-        "cpu_calib_pre_sec": round(calib_pre, 4),
-        "cpu_calib_post_sec": round(calib_post, 4),
-        # bidirectional drift: post >> pre means a neighbor ARRIVED
-        # mid-run; pre >> post means the box was still winding down when
-        # the run started (seen r4: calib 0.25 -> 0.12 under prerun load
-        # 0.05 right after a long sweep) — either way the per-query
-        # timings were taken under CHANGING conditions and can't be
-        # compared round-over-round
         "noisy": (
             prerun_load > NOISE_LOAD_1M
             or max(calib_pre, calib_post)
             > CALIB_DRIFT_NOISY * min(calib_pre, calib_post)
         ),
+    }
+    # Everything that is diagnostic-only goes to the SIDECAR, never the
+    # stdout line: the driver captures only the last ~2000 bytes of
+    # stdout and parses the final line as JSON, and in round 4 the line
+    # outgrew that window (BENCH_r04.json "parsed": null — the official
+    # perf artifact of the round was machine-unreadable). The sidecar is
+    # committed, so nothing is lost; the line stays compact by design
+    # and _emit_final_line enforces the budget mechanically.
+    detail = {
+        # contention context: this box is shared — external load inflates
+        # wall-clock up to ~2x (measured). prerun load is the EXTERNAL
+        # load (sampled before our JVM spins up); per-query loads include
+        # our own threads and bound how contended each timing was.
+        "host_load_avg_1m": round(os.getloadavg()[0], 2),
+        "query_load_1m": query_load,
+        # fixed CPU probe timed before/after the headline loop: drift
+        # means a neighbor arrived mid-run, which the pre-run load gate
+        # cannot see. Bidirectional: post >> pre means a neighbor ARRIVED
+        # mid-run; pre >> post means the box was still winding down when
+        # the run started — either way the per-query timings were taken
+        # under CHANGING conditions and can't be compared round-over-round.
+        "cpu_calib_pre_sec": round(calib_pre, 4),
+        "cpu_calib_post_sec": round(calib_post, 4),
     }
 
     # Apples-to-apples vs the reference's ONE compute-derived number: its
@@ -317,7 +362,7 @@ def main() -> None:
             # a 0.4 s job under external load is noise-dominated: best-of-8
             # (cheap at this size) + the phase's own load stamp, so the
             # judged vs-baseline ratio can be read against contention
-            out["reference_corpus_load_1m"] = round(os.getloadavg()[0], 2)
+            detail["reference_corpus_load_1m"] = round(os.getloadavg()[0], 2)
             best = timed(lambda: wc_df(paths), n=8)
             out["reference_corpus_mb_per_sec"] = round(nbytes / 1e6 / best, 2)
             # Committed stage breakdown (VERDICT r1 task 5): how much of
@@ -325,7 +370,7 @@ def main() -> None:
             # at scale vs. actual tokenize/normalize/count compute.
             empty = timed(lambda: spark.range(1), n=2)
             scan = timed(lambda: spark.read.text(paths), n=2)
-            out["reference_corpus_breakdown_sec"] = {
+            detail["reference_corpus_breakdown_sec"] = {
                 "total": round(best, 4),
                 "empty_job_floor": round(empty, 4),
                 "scan_only": round(scan, 4),
@@ -350,12 +395,12 @@ def main() -> None:
             spark.conf.set("spark.sql.files.maxPartitionBytes", str(split8))
             best8 = timed(lambda: wc_df(paths8))
             out["reference_corpus_8x_mb_per_sec"] = round(nbytes8 / 1e6 / best8, 2)
-            out["reference_corpus_8x_distinct_bytes"] = nbytes8
+            detail["reference_corpus_8x_distinct_bytes"] = nbytes8
         finally:
             for k, v in saved.items():
                 spark.conf.set(k, v)
 
-    print(json.dumps(out))
+    _emit_final_line(out, detail)
     spark.stop()
 
 
