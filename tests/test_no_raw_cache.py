@@ -32,3 +32,29 @@ def test_no_raw_cache_outside_caching_module():
         "raw .cache() pins accumulate over long sessions — route through "
         f"operators/caching.bounded_cache instead: {offenders}"
     )
+
+
+def test_pin_count_bounded_under_repeated_lsh_indexing(spark, sf_dir):
+    """Runtime pin-count regression (VERDICT r4 item 3): calling the LSH
+    index builder far more times than PIN_MAX must leave at most PIN_MAX
+    frames pinned in the block manager — the FIFO evicts the oldest, so
+    registry-wide sweeps (stability_check runs every query twice) cannot
+    accumulate MEMORY_AND_DISK pins without bound."""
+    from wordcount_spark.operators import caching
+    from wordcount_spark.operators.dedup import lsh_banded_index, minhash_signatures_arr
+    from wordcount_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    sigs = minhash_signatures_arr(docs, num_hashes=8)
+    start_live = len(caching._pins)
+    for _ in range(caching.PIN_MAX + 8):
+        idx = lsh_banded_index(sigs, bands=2, rows=4)
+        idx.count()  # materialize so the pin actually holds blocks
+    assert len(caching._pins) <= caching.PIN_MAX
+    # the JVM agrees: persistent RDD count is bounded too (<= PIN_MAX,
+    # modulo frames pinned by earlier tests in this session)
+    jvm_live = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert jvm_live <= caching.PIN_MAX, (
+        f"{jvm_live} RDDs pinned in the block manager (cap {caching.PIN_MAX}); "
+        f"pins at test start: {start_live}"
+    )
