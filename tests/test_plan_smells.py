@@ -20,6 +20,9 @@ BNLJ_OK = {
     "similarity_knn_classify",  # 5-row broadcast query-vector fan-out
     "pipeline_rag_corpus",  # 3-row broadcast query-vector fan-out
     "similarity_ivf_topk",
+    # 1-row broadcast query-vector fan-out onto the ADC candidate scan
+    # and the O(50) re-rank frame (frozen-codebook PQ search)
+    "similarity_pq_topk",
     "q22_sales_opportunity",
     "q11_important_stock",
     "text_unigram_logprob",

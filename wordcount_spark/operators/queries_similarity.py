@@ -183,32 +183,94 @@ def similarity_rp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", sig.alias("bucket")).orderBy("vec_id")
 
 
-@register("similarity_ivf_topk", eager=True)  # rows-only: k-means training isn't SQL-expressible
-def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN search: k-means coarse quantizer (k=8,
-    3 Lloyd iterations), then exact cosine scoring restricted to the
-    nProbe=2 cells nearest the query vector.
+def _cc_sql(cents: list[list[float]]) -> str:
+    """Nested DOUBLE[][] literal for a centroid list — the SAME doubles
+    the Spark plan folds (frozen_codebooks.py), so distances hash-match."""
+    rows = ",".join(
+        "[" + ",".join(repr(float(v)) for v in c) + "]" for c in cents
+    )
+    return f"[{rows}]::DOUBLE[][]"
 
-    Scale shape: training scans the data max_iter times; each SEARCH scans
-    only ~nProbe/k of the corpus (here ~1/4), which is the point — recall
-    vs brute force is bounded in tests/test_similarity_recall.py."""
-    from wordcount_spark.operators.kmeans import assign_clusters, kmeans_fit
+
+def _sqd_sql(vec: str, cv: str, lo: int, n: int) -> str:
+    """Sequential-fold squared distance between ``vec[lo+1..lo+n]`` (any
+    float array expr) and ``cv`` (a DOUBLE[] expr) — mirrors
+    kmeans._sq_dist's zip_with+aggregate fold term-for-term."""
+    d = f"(CAST({vec}[{lo} + i] AS DOUBLE) - {cv}[i])"
+    return f"list_sum(list_transform(range(1, {n + 1}), i -> {d} * {d}))"
+
+
+def _ivf_oracle() -> str:
+    from wordcount_spark.operators.frozen_codebooks import IVF_CENTROIDS
+
+    cc = _cc_sql(IVF_CENTROIDS)
+    dim = len(IVF_CENTROIDS[0])
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    asg AS (
+      SELECT vec_id, label, embedding,
+             CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cluster
+      FROM (
+        SELECT vec_id, label, embedding,
+               list_transform({cc}, cv -> {_sqd_sql("embedding", "cv", 0, dim)}) AS ds
+        FROM embeddings WHERE vec_id <> 0
+      )
+    ),
+    probe AS (
+      SELECT CAST(gs - 1 AS INT) AS cluster
+      FROM (
+        SELECT unnest(ds) AS d, generate_subscripts(ds, 1) AS gs
+        FROM (SELECT list_transform({cc}, cv -> {_sqd_sql("qv", "cv", 0, dim)}) AS ds
+              FROM q)
+      ) ORDER BY d, gs LIMIT 2
+    )
+    SELECT a.vec_id, a.label, a.cluster,
+           list_sum(list_transform(range(1, {dim + 1}),
+             i -> CAST(qv[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+           / ({_NORM_SQL.format(v="qv")} * {_NORM_SQL.format(v="a.embedding")})
+             AS cos_sim
+    FROM asg a JOIN probe USING (cluster), q
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+
+
+@register("similarity_ivf_topk", _ivf_oracle())
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN search against the FROZEN coarse quantizer
+    (operators/frozen_codebooks.py — k=8 k-means, pinned as a versioned
+    artifact the way production ANN systems version their quantizers):
+    per-row nearest-centroid assignment, then exact cosine scoring
+    restricted to the nProbe=2 cells nearest the query vector. Fully
+    lazy and oracle-backed — the DuckDB twin evaluates the SAME centroid
+    doubles with the same sequential folds, so even the float distances
+    hash-match; training (iterative Lloyd) lives in operators/kmeans.py
+    and stays a separate pipeline, exactly as in production.
+
+    Scale shape: assignment is one argmin-over-k-literals expression per
+    row — no shuffle, no join; each SEARCH scans only ~nProbe/k of the
+    corpus (here ~1/4), which is the point — recall vs brute force is
+    bounded in tests/test_similarity_recall.py. The probe-cell frame is
+    O(k) rows and the query vector is a 1-row broadcast (allowlisted
+    BNLJ)."""
+    from wordcount_spark.operators.frozen_codebooks import IVF_CENTROIDS, IVF_NPROBE
+    from wordcount_spark.operators.kmeans import _sq_dist, assign_clusters
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents, assigned = kmeans_fit(emb, k=8, max_iter=3)
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    qv = [float(v) for v in q.first()["qv"]]
-
-    import math
-
-    def sqd(c: list[float]) -> float:
-        return sum((a - b) * (a - b) for a, b in zip(qv, c))
-
-    probe = sorted(range(len(cents)), key=lambda i: sqd(cents[i]))[:2]
-    cand = assigned.filter(F.col("cluster").isin(probe) & (F.col("vec_id") != 0))
-    qdf = F.broadcast(q)
+    asg = assign_clusters(emb.filter(F.col("vec_id") != 0), IVF_CENTROIDS)
+    qd = q.select(
+        F.posexplode(
+            F.array(*[_sq_dist(F.col("qv"), c) for c in IVF_CENTROIDS])
+        ).alias("pos", "d")
+    )
+    probe = (
+        qd.orderBy("d", "pos")
+        .limit(IVF_NPROBE)
+        .select(F.col("pos").cast("int").alias("cluster"))
+    )
     return (
-        cand.join(qdf)
+        asg.join(F.broadcast(probe), "cluster")
+        .join(F.broadcast(q))
         .select(
             "vec_id",
             "label",
@@ -401,38 +463,110 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_pq_topk", eager=True)  # rows-only: k-means codebooks aren't SQL-expressible
-def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN: per-subspace codebooks (m=8 subspaces ×
-    k=16 centroids over the 64-dim embeddings → 32-bit codes, a 64×
-    compression of the scan payload), asymmetric-distance (ADC) candidate
-    scan — m table lookups per row, zero float math per dimension — then
-    EXACT cosine re-rank of the top-50 candidates. The re-rank step is the
-    production pattern: approximate scan bounds the candidate set, exact
-    scoring restores ranking quality (recall bounded in
-    tests/test_similarity_recall.py). At 100 TB the ADC scan reads only
-    the codes column; full vectors are fetched for ~50 rows.
+def _pq_oracle() -> str:
+    from wordcount_spark.operators.frozen_codebooks import PQ_CODEBOOKS, PQ_DSUB
 
-    Scale: the scan reads 32-bit codes (64x smaller than raw vectors);
-    ADC is m in-memory table lookups per row against the broadcast
-    distance tables; only the top candidates fetch raw vectors for
-    exact re-rank.
+    m = len(PQ_CODEBOOKS)
+    ds_cols = ",\n               ".join(
+        f"list_transform({_cc_sql(PQ_CODEBOOKS[j])}, cv -> "
+        f"{_sqd_sql('embedding', 'cv', j * PQ_DSUB, PQ_DSUB)}) AS ds{j}"
+        for j in range(m)
+    )
+    code_cols = ", ".join(
+        f"CAST(list_position(ds{j}, list_min(ds{j})) - 1 AS INT) AS c{j}"
+        for j in range(m)
+    )
+    # ADC = left-associated sum of per-subspace squared distances from the
+    # query subvector to the CHOSEN centroid — same + order as the Spark
+    # expression, so the doubles are identical
+    adc = " + ".join(
+        _sqd_sql("qv", f"({_cc_sql(PQ_CODEBOOKS[j])})[c{j} + 1]",
+                 j * PQ_DSUB, PQ_DSUB)
+        for j in range(m)
+    )
+    dim = m * PQ_DSUB
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    enc AS (
+      SELECT vec_id, {code_cols}
+      FROM (
+        SELECT vec_id,
+               {ds_cols}
+        FROM embeddings WHERE vec_id <> 0
+      )
+    ),
+    cand AS (
+      SELECT vec_id FROM enc, q
+      ORDER BY {adc}, vec_id LIMIT 50
+    )
+    SELECT e.vec_id,
+           list_sum(list_transform(range(1, {dim + 1}),
+             i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+           / ({_NORM_SQL.format(v="qv")} * {_NORM_SQL.format(v="e.embedding")})
+             AS cos_sim
+    FROM embeddings e JOIN cand USING (vec_id), q
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
     """
-    from wordcount_spark.operators.pq import pq_adc_topk, pq_encode, pq_train
+
+
+@register("similarity_pq_topk", _pq_oracle())
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN against the FROZEN per-subspace codebooks
+    (operators/frozen_codebooks.py — m=8 subspaces × k=16 centroids over
+    the 64-dim embeddings → 32-bit codes, a 64× compression of the scan
+    payload): per-row encode, asymmetric-distance (ADC) candidate scan —
+    m codebook lookups per row — then EXACT cosine re-rank of the top-50
+    candidates. The re-rank step is the production pattern: approximate
+    scan bounds the candidate set, exact scoring restores ranking quality
+    (recall bounded in tests/test_similarity_recall.py). Fully lazy and
+    oracle-backed: the DuckDB twin encodes and scores with the SAME
+    codebook doubles and fold order, so the ADC floats hash-match;
+    codebook training (per-subspace k-means) lives in operators/pq.py as
+    a separate pipeline, exactly as in production.
+
+    Scale: encode and ADC are per-row expressions over broadcast-literal
+    codebooks — no shuffle; at 100 TB the standing table stores only the
+    codes column (64× smaller than raw vectors) and full vectors are
+    fetched for ~50 rows at re-rank. The query vector is a 1-row
+    broadcast (allowlisted BNLJ)."""
+    from wordcount_spark.operators.frozen_codebooks import (
+        PQ_CODEBOOKS,
+        PQ_DSUB,
+    )
+    from wordcount_spark.operators.pq import pq_encode
 
     emb = load_table(spark, sf_dir, "embeddings")
-    books = pq_train(emb, m=8, k=16, max_iter=3)
-    encoded = pq_encode(emb, books)
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    qv = [float(v) for v in q.first()["qv"]]
-    cand = pq_adc_topk(
-        encoded.filter(F.col("vec_id") != 0), books, qv, n=50
-    ).select("vec_id")
-    qdf = F.broadcast(q)
+    encoded = pq_encode(emb.filter(F.col("vec_id") != 0), PQ_CODEBOOKS)
+
+    def dq(j: int) -> Column:
+        cbj = F.array(
+            *[F.array(*[F.lit(float(v)) for v in c]) for c in PQ_CODEBOOKS[j]]
+        )
+        cvj = F.element_at(cbj, F.element_at("pq_codes", j + 1) + 1)
+        return F.aggregate(
+            F.zip_with(
+                F.slice("qv", j * PQ_DSUB + 1, PQ_DSUB),
+                cvj,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    adc: Column | None = None
+    for j in range(len(PQ_CODEBOOKS)):
+        adc = dq(j) if adc is None else adc + dq(j)
+    cand = (
+        encoded.join(F.broadcast(q))
+        .select("vec_id", adc.alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(50)
+        .select("vec_id")
+    )
     return (
-        load_table(spark, sf_dir, "embeddings")
-        .join(F.broadcast(cand), "vec_id")
-        .join(qdf)
+        emb.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(q))
         .select("vec_id", cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
