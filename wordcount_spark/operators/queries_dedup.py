@@ -1213,9 +1213,20 @@ def eval_lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINE_W = 15  # tokens per synthetic "line" (the corpus has no newlines)
 
 
-@register(
-    "text_line_dedup_c4",
-    f"""
+def _line_dedup_oracle() -> str:
+    """Mirrors the Spark plan's 128-bit line keying: each DISTINCT line
+    is hashed ONCE through the generated XXH64 pipeline (seed-42 Spark
+    parity, operators/xxh64_sql.py) — twice, the second over
+    ``line || chr(1)`` (the standard suffix-perturbation second hash) —
+    then ownership groups on the (hh1, hh2) pair exactly like the Spark
+    window."""
+    from wordcount_spark.operators.xxh64_sql import xxh64_pipeline_sql
+
+    p1 = xxh64_pipeline_sql("SELECT line FROM dl", tok="line")
+    p2 = xxh64_pipeline_sql(
+        "SELECT line, hh1 FROM p1", tok="(line || chr(1))", keep=("line", "hh1")
+    )
+    return f"""
     WITH t AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
@@ -1230,16 +1241,26 @@ _LINE_W = 15  # tokens per synthetic "line" (the corpus has no newlines)
                            ' '))) AS line
       FROM t WHERE len(toks) > 0
     ),
-    own AS (SELECT line, min(doc_id) AS keeper FROM ln GROUP BY line)
-    SELECT l.doc_id,
+    dl AS (SELECT DISTINCT line FROM ln),
+    p1 AS (SELECT line, h64 AS hh1 FROM ({p1})),
+    p2 AS (SELECT line, hh1, h64 AS hh2 FROM ({p2})),
+    keyed AS (
+      SELECT l.doc_id, p.hh1, p.hh2, len(l.line) AS line_len
+      FROM ln l JOIN p2 p USING (line)
+    ),
+    own AS (SELECT hh1, hh2, min(doc_id) AS keeper
+            FROM keyed GROUP BY hh1, hh2)
+    SELECT k.doc_id,
            CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(count(*) FILTER (WHERE l.doc_id <> o.keeper) AS BIGINT) AS n_removed,
-           CAST(sum(CASE WHEN l.doc_id = o.keeper THEN len(l.line) ELSE 0 END)
+           CAST(count(*) FILTER (WHERE k.doc_id <> o.keeper) AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN k.doc_id = o.keeper THEN k.line_len ELSE 0 END)
                 AS BIGINT) AS kept_chars
-    FROM ln l JOIN own o USING (line)
-    GROUP BY l.doc_id ORDER BY l.doc_id
-    """,
-)
+    FROM keyed k JOIN own o USING (hh1, hh2)
+    GROUP BY k.doc_id ORDER BY k.doc_id
+    """
+
+
+@register("text_line_dedup_c4", _line_dedup_oracle())
 def text_line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-level dedup (Raffel et al. 2020 remove any
     three-sentence span occurring more than once in the corpus; FineWeb
@@ -1252,13 +1273,19 @@ def text_line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline applies before tokenization.
 
     Scale: the line frame is O(tokens/15) rows; ownership is a window
-    MIN over the line key — ONE line-keyed exchange total (at 100 TB,
-    hash the line to a 128-bit key first so the shuffle carries 16-byte
-    keys, not strings — same survivor semantics), then a doc-keyed
-    count. The r3 shape was groupBy(line) + join-back: two consumers of
-    the line exchange plus a sort-merge join; the window form halves the
-    line-keyed work (r4 scale_check: 50× growth 4.3 → ~2.6). No pairwise
-    work anywhere: line dedup is exact dedup on the line grain.
+    MIN over a 128-BIT HASH of the line — the line string is hashed
+    (xxhash64 twice: raw + chr(1)-suffixed, the standard second-hash
+    perturbation) and DROPPED before the exchange, so the one line-keyed
+    shuffle carries (doc_id, two longs, line_len int) ≈ 28 bytes/row
+    instead of the ~100-byte line text, and the window sorts long pairs
+    instead of strings. Survivor semantics are identical up to a 128-bit
+    collision (≈ n²/2^129 — at 10^12 corpus lines that is ~10^-15,
+    negligible; the oracle hashes with the SAME portable XXH64, so even
+    a collision could not diverge the comparison). Then a doc-keyed
+    count. History: the r3 shape was groupBy(line) + join-back (50×
+    growth 4.3); r4's window-over-string form cut it to 2.56; this form
+    shrinks the exchange a further ~4× in bytes. No pairwise work
+    anywhere: line dedup is exact dedup on the line grain.
     """
     from pyspark.sql import Window
     docs = load_table(spark, sf_dir, "documents")
@@ -1279,8 +1306,14 @@ def text_line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("line"),
         )
     )
-    owned = lines.withColumn(
-        "keeper", F.min("doc_id").over(Window.partitionBy("line"))
+    keyed = lines.select(
+        "doc_id",
+        F.xxhash64("line").alias("hh1"),
+        F.xxhash64(F.concat(F.col("line"), F.lit("\x01"))).alias("hh2"),
+        F.length("line").alias("line_len"),
+    )
+    owned = keyed.withColumn(
+        "keeper", F.min("doc_id").over(Window.partitionBy("hh1", "hh2"))
     )
     return (
         owned.groupBy("doc_id")
@@ -1290,7 +1323,7 @@ def text_line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_removed"),
             F.sum(
-                F.when(F.col("doc_id") == F.col("keeper"), F.length("line"))
+                F.when(F.col("doc_id") == F.col("keeper"), F.col("line_len"))
                 .otherwise(F.lit(0))
             )
             .cast("long")

@@ -91,10 +91,16 @@ def _byte(hx: str, off: str) -> str:
     return f"('0x' || substr({hx}, (2*({off})+1)::BIGINT, 2))::BIGINT::HUGEINT"
 
 
-def xxh64_pipeline_sql(source_sql: str, tok: str = "tok") -> str:
+def xxh64_pipeline_sql(
+    source_sql: str, tok: str = "tok", keep: tuple[str, ...] = ()
+) -> str:
     """A SELECT over ``source_sql`` (a relation exposing VARCHAR column
     ``tok``) that adds ``h64`` (signed BIGINT ≡ Spark ``xxhash64(tok)``)
-    and ``th`` (the repo's fold of h64 to [0, 2^31-1))."""
+    and ``th`` (the repo's fold of h64 to [0, 2^31-1)). ``tok`` may be a
+    column name or an expression; ``keep`` lists additional source
+    columns to carry through the pipeline (an expression ``tok`` must
+    name its inputs in ``keep`` — the base projection drops everything
+    else)."""
     acc0 = (
         f"{{'a': {(SEED + P1 + P2) % M64}::HUGEINT, "
         f"'b': {(SEED + P2) % M64}::HUGEINT, "
@@ -213,7 +219,8 @@ def xxh64_pipeline_sql(source_sql: str, tok: str = "tok") -> str:
             )
         ],
     ]
-    sql = f"SELECT {tok} FROM ({source_sql})"
+    base_cols = ", ".join((*keep, tok)) if keep else tok
+    sql = f"SELECT {base_cols} FROM ({source_sql})"
     for layer in layers:
         cols = ", ".join(f"{expr} AS {col}" for col, expr in layer)
         sql = f"SELECT *, {cols} FROM ({sql})"
