@@ -218,11 +218,13 @@ def pipelines():
         )
 
     def line_dedup(df):
-        # text_line_dedup_c4 shape: positional 15-token lines hashed,
-        # ownership via window MIN over the line key — ONE line-keyed
-        # exchange (the r3 groupBy+join-back shape paid the exchange
-        # twice plus an SMJ); growth should track the line count
-        # (O(tokens/15))
+        # text_line_dedup_c4 shape (r5): positional 15-token lines keyed
+        # by a 128-bit xxhash64 PAIR — the line string is dropped before
+        # the one line-keyed exchange, so the shuffle carries (doc_id,
+        # two longs) and the window sorts long pairs, not strings (the
+        # r4 shape keyed on a 32-char md5 string; r3 paid the exchange
+        # twice plus an SMJ). Growth should track the line count
+        # (O(tokens/15)).
         from pyspark.sql import Window
 
         toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
@@ -232,14 +234,18 @@ def pipelines():
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0).cast("long"), nl - 1),
-                    lambda i: F.md5(
-                        F.array_join(F.slice(toks, (i * 15 + 1).cast("int"), 15), " ")
+                    lambda i: F.array_join(
+                        F.slice(toks, (i * 15 + 1).cast("int"), 15), " "
                     ),
                 )
-            ).alias("line_h"),
+            ).alias("line"),
+        ).select(
+            "doc_id",
+            F.xxhash64("line").alias("hh1"),
+            F.xxhash64(F.concat(F.col("line"), F.lit("\x01"))).alias("hh2"),
         )
         owned = lines.withColumn(
-            "keeper", F.min("doc_id").over(Window.partitionBy("line_h"))
+            "keeper", F.min("doc_id").over(Window.partitionBy("hh1", "hh2"))
         )
         return owned.groupBy().agg(
             F.count("*").alias("n_lines"),
@@ -376,18 +382,63 @@ def pipelines():
     }
 
 
+def _shuffle_bytes_since(spark, prev_stage_max: int) -> tuple[int, int, int]:
+    """(total shuffle-write bytes, peak per-stage bytes, new max stage id)
+    over all stages with id > prev_stage_max, read from the UI REST API
+    (the session is built with the UI on for exactly this purpose)."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    apps = json.load(urllib.request.urlopen(f"{base}/api/v1/applications"))
+    app_id = apps[0]["id"]
+    stages = json.load(
+        urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/stages")
+    )
+    total = peak = 0
+    max_id = prev_stage_max
+    for s in stages:
+        if s["stageId"] <= prev_stage_max:
+            continue
+        max_id = max(max_id, s["stageId"])
+        b = s.get("shuffleWriteBytes", 0)
+        total += b
+        peak = max(peak, b)
+    return total, peak, max_id
+
+
 def main() -> None:
+    """``python tools/scale_check.py [N] [pipeline ...]``
+
+    No pipeline args: the full committed sweep (writes SCALE_CHECK.json).
+    With pipeline names (VERDICT r4 item 8 — composites at 200x): runs
+    only those at 1x and Nx, additionally recording total + peak
+    per-stage shuffle-WRITE bytes at each scale (the number that decides
+    whether an exchange fits a real cluster's disks), and MERGES the
+    result under "composites_<N>x" in SCALE_CHECK.json instead of
+    overwriting the sweep.
+    """
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    only = sys.argv[2:]
 
     from wordcount_spark.session import get_spark
     from wordcount_spark.sources.pydatasource import SynthDocsDataSource
 
-    spark = get_spark("scale_check", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark = get_spark(
+        "scale_check",
+        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        extra_conf={"spark.ui.enabled": "true"} if only else None,
+    )
     spark.dataSource.register(SynthDocsDataSource)
 
+    selected = pipelines()
+    if only:
+        selected = {k: selected[k] for k in only}
+
     results: dict[str, dict] = {}
-    for name, fn in pipelines().items():
+    stage_max = -1
+    for name, fn in selected.items():
         times = {}
+        shuffles: dict[str, dict] = {}
         for label, rows in (("1x", BASE_ROWS), (f"{mult}x", BASE_ROWS * mult)):
             fn(synth(spark, rows)).write.format("noop").mode(
                 "overwrite"
@@ -397,19 +448,48 @@ def main() -> None:
                 # rebuild INSIDE the timed region: pipelines with eager
                 # build-time phases (pack's prefix-sum checkpoint+collect)
                 # must pay them in the measurement, not before it
+                if only:  # shuffle accounting: bytes of ONE clean run
+                    _, _, stage_max = _shuffle_bytes_since(spark, stage_max)
                 t0 = time.monotonic()
                 fn(synth(spark, rows)).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 best = min(best, time.monotonic() - t0)
+                if only:
+                    tot, peak, stage_max = _shuffle_bytes_since(spark, stage_max)
+                    shuffles[label] = {
+                        "shuffle_write_bytes": tot,
+                        "peak_stage_bytes": peak,
+                    }
             times[label] = round(best, 3)
         ratio = round(times[f"{mult}x"] / times["1x"], 2)
         results[name] = {**times, "growth_ratio": ratio, "data_ratio": mult}
-        print(f"{name}: 1x={times['1x']}s {mult}x={times[f'{mult}x']}s ratio={ratio}")
+        if shuffles:
+            sb1 = shuffles["1x"]["shuffle_write_bytes"]
+            sbN = shuffles[f"{mult}x"]["shuffle_write_bytes"]
+            results[name]["shuffle"] = {
+                **shuffles,
+                "bytes_growth_ratio": round(sbN / max(sb1, 1), 2),
+            }
+        print(f"{name}: 1x={times['1x']}s {mult}x={times[f'{mult}x']}s ratio={ratio}"
+              + (f" shuffle_bytes_ratio={results[name]['shuffle']['bytes_growth_ratio']}"
+                 if shuffles else ""))
 
     out = os.path.join(_REPO_ROOT, "SCALE_CHECK.json")
-    with open(out, "w") as f:
-        json.dump({"base_rows": BASE_ROWS, "multiplier": mult, "pipelines": results}, f, indent=2)
+    if only:
+        try:
+            doc = json.load(open(out))
+        except (OSError, ValueError):
+            doc = {"base_rows": BASE_ROWS, "multiplier": 50, "pipelines": {}}
+        doc[f"composites_{mult}x"] = results
+        with open(out, "w") as f:
+            json.dump(doc, f, indent=2)
+    else:
+        with open(out, "w") as f:
+            json.dump(
+                {"base_rows": BASE_ROWS, "multiplier": mult, "pipelines": results},
+                f, indent=2,
+            )
     print(f"wrote {out}")
     spark.stop()
 

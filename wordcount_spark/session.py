@@ -31,7 +31,14 @@ def delta_python_available() -> bool:
     return importlib.util.find_spec("delta") is not None
 
 
-def get_spark(app_name: str = "wordcount_spark", cpus: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "wordcount_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """``extra_conf`` overrides (applied last) are for TOOLS only — e.g.
+    tools/scale_check.py re-enables the UI so it can read per-stage
+    shuffle bytes over the REST API; query code never passes it."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     builder = (
@@ -58,6 +65,8 @@ def get_spark(app_name: str = "wordcount_spark", cpus: int | None = None) -> Spa
                 "org.apache.spark.sql.delta.catalog.DeltaCatalog",
             )
         )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
