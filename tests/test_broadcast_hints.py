@@ -48,9 +48,9 @@ ALLOWED: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/queries_retrieval.py", "retrieval_hybrid_rrf"): (1, "3 fixed query vectors"),
     ("operators/queries_similarity.py", "similarity_topk_bruteforce"): (1, "fixed query vectors"),
     ("operators/queries_similarity.py", "similarity_binary_hamming_topk"): (1, "1-row query signature (2 longs)"),
-    ("operators/queries_similarity.py", "similarity_ivf_topk"): (1, "fixed query vectors"),
+    ("operators/queries_similarity.py", "similarity_ivf_topk"): (2, "1-row query vector + O(nProbe)=2-row probe-cell frame"),
     ("operators/queries_similarity.py", "similarity_multiquery_topk"): (3, "8-query matrix (sc.broadcast) + O(queries*k) candidates + query frame"),
-    ("operators/queries_similarity.py", "similarity_pq_topk"): (2, "fixed query vectors + O(queries*k) candidates"),
+    ("operators/queries_similarity.py", "similarity_pq_topk"): (3, "1-row query vector (ADC + re-rank sides) + O(50) candidate frame"),
     ("operators/queries_similarity.py", "similarity_knn_classify"): (1, "5 fixed query vectors"),
     ("operators/queries_similarity.py", "eval_knn_label_precision"): (1, "20 fixed query vectors"),
     ("operators/queries_textstats.py", "unigram_logprob_scores"): (1, "1-row ln(N) scalar"),
