@@ -113,14 +113,35 @@ def driver_checked() -> frozenset[str]:
             rows = json.load(open(path))
         except (OSError, ValueError):
             continue
+        try:  # CORRECTNESS_r04.json -> 4
+            rnd = int(os.path.basename(path).split("_r")[-1].split(".")[0])
+        except ValueError:
+            rnd = 0
         for name, row in rows.items():
             if not isinstance(row, dict) or row.get("err"):
                 continue
+            if rnd < EVIDENCE_RESET.get(name, 0):
+                continue  # evidence predates a semantic change — stale
             if row.get("hash_match"):
                 hash_seen.add(name)
             elif row.get("hash_match") is None and row.get("rows_match"):
                 rows_seen.add(name)
     return frozenset(hash_seen | {n for n in rows_seen if n not in ORACLES})
+
+
+#: name -> first round whose driver evidence still counts. Set when a
+#: query's SEMANTICS or oracle materially change after it already has
+#: green driver rows: the old pass proved the old comparison, so the
+#: query must re-enter the unseen class and be re-proven by the driver
+#: itself (the same honesty rule that demotes rows-only -> oracle
+#: upgrades, which the ORACLES membership check below handles
+#: automatically). Entries are permanent history, not config.
+EVIDENCE_RESET: dict[str, int] = {
+    # r5: exchange re-keyed from line strings to a 128-bit xxhash64 pair
+    # and the oracle rebuilt on the portable XXH64 pipeline — the r4 pass
+    # proved the string-keyed comparison, not this one
+    "text_line_dedup_c4": 5,
+}
 
 
 def _ordered(d: dict) -> dict:
