@@ -253,10 +253,13 @@ def pipelines():
         )
 
     def pretrain_full(df):
-        # pipeline_pretrain_full shape (VERDICT r3 item 7): gate → exact
-        # dedup → min-lang rebalance → chunking → chunk dedup → split →
-        # report. The per-stage shuffles: md5 dedup, lang counts,
-        # chunk-hash dedup, final group — all key-bounded.
+        # pipeline_pretrain_full shape (r5: the TOKEN ARRAYS NEVER
+        # SHUFFLE — survivorship is a groupBy(md5).agg(min_by) over a
+        # ~30-byte projection, sampling is decided on that id frame, and
+        # chunking runs pre-dedup with a chunk-level semi-join filter;
+        # the r4 shape's md5 window carried every token array through
+        # the exchange). Per-stage shuffles: narrow md5 agg, lang
+        # counts, chunk semi-join + chunk-hash dedup, final group.
         from pyspark.sql import Window
 
         from wordcount_spark.operators.queries_llmprep import CHUNK_S, CHUNK_W
@@ -265,16 +268,19 @@ def pipelines():
             "doc_id",
             "lang",
             F.filter(F.split("text", r"\s+"), lambda x: x != F.lit("")).alias("toks"),
-            F.md5("text").alias("text_md5"),
+            F.unhex(F.md5("text")).alias("text_md5"),
         )
         q = t.where(F.size("toks") >= 20)
-        w_dup = Window.partitionBy("text_md5").orderBy("doc_id")
-        survivors = (
-            q.withColumn("rn", F.row_number().over(w_dup))
-            .where("rn = 1")
-            .select("doc_id", "lang", "toks")
+        survivor_ids = (
+            q.select("text_md5", "doc_id", "lang")
+            .groupBy("text_md5")
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.min_by("lang", "doc_id").alias("lang"),
+            )
+            .select("doc_id", "lang")
         )
-        counts = survivors.groupBy("lang").agg(F.count("*").alias("n"))
+        counts = survivor_ids.groupBy("lang").agg(F.count("*").alias("n"))
         min_n = counts.agg(F.min("n").alias("min_n"))
         rates = counts.crossJoin(F.broadcast(min_n)).select(
             "lang", (F.col("min_n").cast("double") / F.col("n")).alias("rate")
@@ -283,10 +289,10 @@ def pipelines():
             F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
             .cast("long") % 10000
         )
-        mixed = survivors.join(F.broadcast(rates), "lang").where(
+        mixed_ids = survivor_ids.join(F.broadcast(rates), "lang").where(
             bucket < F.col("rate") * 10000
-        )
-        chunks = mixed.select(
+        ).select("doc_id")
+        chunks = q.select(
             "doc_id", "lang", F.size("toks").alias("n"), "toks",
             F.posexplode(
                 F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_S))
@@ -294,10 +300,10 @@ def pipelines():
         ).select(
             "doc_id", "lang", "chunk_idx",
             F.least(F.lit(CHUNK_W), F.col("n") - F.col("start")).alias("n_tok"),
-            F.md5(
+            F.unhex(F.md5(
                 F.array_join(F.slice("toks", F.col("start") + 1, F.lit(CHUNK_W)), " ")
-            ).alias("h"),
-        )
+            )).alias("h"),
+        ).join(mixed_ids, "doc_id", "left_semi")
         w_chunk = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
         uchunks = (
             chunks.withColumn("rn", F.row_number().over(w_chunk))
@@ -325,25 +331,28 @@ def pipelines():
         )
 
     def rag_corpus(df):
-        # pipeline_rag_corpus shape (VERDICT r3 item 7): exact dedup →
-        # chunk count → embedding attach (1:1 id join; embedding derived
-        # deterministically in-plan since synthdocs has no vector column
-        # — same width, same join/shuffle shape) → broadcast 3-query
-        # cosine top-5.
+        # pipeline_rag_corpus shape (r5: the TEXT NEVER SHUFFLES —
+        # survivorship is a groupBy(md5).min(doc_id) over a (hash, id)
+        # projection and the chunk counts are computed pre-dedup with a
+        # doc-keyed semi-join; the r4 shape's md5 window carried the
+        # full text through the exchange) → embedding attach (1:1 id
+        # join; embedding derived deterministically in-plan since
+        # synthdocs has no vector column — same width, same join/shuffle
+        # shape) → broadcast 3-query cosine top-5.
         from pyspark.sql import Window
 
         from wordcount_spark.operators.queries_similarity import cosine
 
-        w_dedup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-        survivors = (
-            df.withColumn("rn", F.row_number().over(w_dedup))
-            .filter(F.col("rn") == 1)
-            .select("doc_id", "text")
+        survivor_ids = (
+            df.select(F.unhex(F.md5("text")).alias("h"), "doc_id")
+            .groupBy("h")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
         )
         toks = F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
-        chunks = survivors.select(
+        chunks = df.select(
             "doc_id", F.ceil(F.size(toks) / 64).alias("n_chunks")
-        )
+        ).join(survivor_ids, "doc_id", "left_semi")
         emb_expr = F.transform(
             F.sequence(F.lit(0), F.lit(63)),
             lambda i: (
@@ -352,8 +361,20 @@ def pipelines():
         )
         emb = df.select("doc_id", emb_expr.alias("embedding"))
         corpus = chunks.join(emb, "doc_id").select("doc_id", "n_chunks", "embedding")
-        q = emb.where(F.col("doc_id") < 3).select(
-            F.col("doc_id").alias("qid"), F.col("embedding").alias("q_emb")
+        # query frame from a 3-row range, NOT a corpus scan: the
+        # registered query reads its 3 query vectors from the embeddings
+        # table with a pushed-down vec_id predicate (touches 3 rows);
+        # deriving them from df here scanned the whole corpus for 3 rows
+        # (measured 35s cpu at 200x) — a replica artifact, not a shape
+        # the registered plan has
+        q = df.sparkSession.range(3).select(
+            F.col("id").alias("qid"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: (
+                    F.pmod(F.xxhash64(F.col("id") * 64 + i), F.lit(1000)) / 1000.0
+                ).cast("float"),
+            ).alias("q_emb"),
         )
         sims = corpus.crossJoin(F.broadcast(q)).select(
             "qid", "doc_id", "n_chunks",

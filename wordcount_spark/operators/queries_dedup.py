@@ -785,7 +785,7 @@ def _register_pipeline_rag():
     WITH survivors AS (
       SELECT doc_id, text FROM (
         SELECT doc_id, text,
-               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+               row_number() OVER (PARTITION BY unhex(md5(text)) ORDER BY doc_id) AS rn
         FROM documents) t WHERE rn = 1
     ),
     toks AS (
@@ -830,12 +830,20 @@ def _register_pipeline_rag():
         tiebreaks throughout. The oracle replays all four stages in SQL,
         so the composition — not just the pieces — is hash-checked.
 
-        Scale: dedup is one content-hash shuffle; chunk counting is a
-        narrow explode + doc-keyed agg; the embedding attach is a 1:1 id
-        join (bucketable); retrieval broadcasts the query set so the
-        corpus never shuffles (for real query volumes, swap in the
-        pruned `similarity_multiquery_topk` path or an IVF candidate
-        feed — same composition, different last stage).
+        Scale — the TEXT NEVER SHUFFLES (r5 rewrite; the r4 shape ran the
+        dedup as a window over md5(text) that carried the full document
+        text through the content-hash exchange — 212 MB of 250 MB total
+        shuffle at 200x in tools/scale_check.py): survivor ownership is
+        a groupBy(hash).min(doc_id) over a (16-byte hash, id) projection
+        — ~24 bytes/row — and chunk counting runs pre-dedup as narrow
+        per-row work + a doc-keyed O(docs) partial-agg exchange
+        (duplicates re-tokenize map-side, which at any realistic dup
+        rate is far cheaper than shipping text bytes through a shuffle);
+        the embedding attach is a 1:1 id join (bucketable); retrieval
+        broadcasts the query set so the corpus never shuffles (for real
+        query volumes, swap in the pruned `similarity_multiquery_topk`
+        path or an IVF candidate feed — same composition, different
+        last stage).
         """
         from pyspark.sql import Window
 
@@ -843,19 +851,21 @@ def _register_pipeline_rag():
         from wordcount_spark.operators.queries_similarity import cosine
 
         docs = load_table(spark, sf_dir, "documents")
-        w_dedup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-        survivors = (
-            docs.withColumn("rn", F.row_number().over(w_dedup))
-            .filter(F.col("rn") == 1)
-            .select("doc_id", "text")
+        survivor_ids = (
+            docs.select(F.unhex(F.md5("text")).alias("h"), "doc_id")
+            .groupBy("h")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
         )
-        toks = survivors.select("doc_id", _toks().alias("toks"))
+        toks = docs.select("doc_id", _toks().alias("toks"))
         chunks = chunk_windows(toks).groupBy("doc_id").agg(
             F.count("*").alias("n_chunks")
         )
         emb = load_table(spark, sf_dir, "embeddings")
-        corpus = chunks.join(emb, chunks.doc_id == emb.vec_id).select(
-            "doc_id", "n_chunks", "embedding"
+        corpus = (
+            chunks.join(survivor_ids, "doc_id", "left_semi")
+            .join(emb, chunks.doc_id == emb.vec_id)
+            .select("doc_id", "n_chunks", "embedding")
         )
         q = emb.where(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")

@@ -337,7 +337,7 @@ def mix_rebalance_to_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id, lang,
              list_filter({_TOKS_SQL}, x -> x <> '') AS toks,
-             md5(text) AS text_md5
+             unhex(md5(text)) AS text_md5
       FROM documents
     ),
     -- 1. quality gate: drop short docs BEFORE anything shuffles
@@ -362,9 +362,9 @@ def mix_rebalance_to_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks AS (
       SELECT doc_id, lang,
              least({CHUNK_W}, len(toks) - s.start) AS n_tok,
-             md5(array_to_string(
+             unhex(md5(array_to_string(
                list_slice(toks, s.start + 1,
-                          least(s.start + {CHUNK_W}, len(toks))), ' ')) AS h,
+                          least(s.start + {CHUNK_W}, len(toks))), ' '))) AS h,
              s.start // {CHUNK_S} AS chunk_idx
       FROM mixed, LATERAL (
         SELECT unnest(generate_series(0, len(toks) - 1, {CHUNK_S})) AS start
@@ -398,12 +398,23 @@ def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     also exists (and is oracle-checked) standalone; this entry checks the
     COMPOSITION end to end.
 
-    Stage order is the scale order: the quality gate is a narrow filter
-    before any shuffle; mixture sampling runs at doc grain BEFORE chunking
-    so dropped documents are never chunked; both dedups key on md5 (16
-    bytes, uniform) rather than text; the split is a pure hash of doc_id
-    (salted differently from the sampling hash so the two decisions are
-    independent), so no shuffle — chunks of one doc always land one side."""
+    Stage order is the scale order, and the TOKEN ARRAYS NEVER SHUFFLE
+    (r5 rewrite — the r4 shape deduped with a window over text_md5 that
+    carried every survivor's full token array through the content-hash
+    exchange, the dominant shuffle at 200x in tools/scale_check.py):
+    the quality gate is a narrow filter before any shuffle; doc
+    survivorship is a groupBy(md5).agg(min_by) over a ~30-byte
+    (hash, id, lang) projection; mixture sampling is decided on that
+    narrow id frame; chunking runs pre-dedup as narrow per-row work over
+    every quality doc and the sampled-survivor filter is a doc-keyed
+    LEFT SEMI join of the ~60-byte chunk-fingerprint rows (duplicates
+    re-chunk map-side — at any realistic dup rate far cheaper than
+    shipping token arrays through an exchange, and the corpus-sized
+    frame is deliberately NOT cached: recompute is the scale answer);
+    both dedups key on md5 (16 bytes, uniform) rather than text; the
+    split is a pure hash of doc_id (salted differently from the sampling
+    hash so the two decisions are independent), so no shuffle — chunks
+    of one doc always land one side."""
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
@@ -411,22 +422,27 @@ def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         _toks().alias("toks"),
-        F.md5("text").alias("text_md5"),
+        F.unhex(F.md5("text")).alias("text_md5"),
     )
     q = t.where(F.size("toks") >= 20)
-    w_dup = Window.partitionBy("text_md5").orderBy("doc_id")
-    # cached: both the rates branch and the sampling probe consume this
-    # frame, and Spark does not reuse exchanges across branches — without
-    # the cache the tokenize+md5+dedup lineage runs twice (same accepted
-    # session-lifetime cost as the other shared-frame caches)
-    survivors = (
-        q.withColumn("rn", F.row_number().over(w_dup))
-        .where("rn = 1")
-        .select("doc_id", "lang", "toks")
-        .transform(bounded_cache)
+    # survivor = min doc_id per content hash, carrying ITS OWN lang
+    # (min_by ≡ the old window's rn=1 row) — a ~30-byte/row exchange.
+    # cached (O(survivors) ids, no arrays): the rates branch and the
+    # sampled-id filter both consume it, and Spark does not reuse
+    # exchanges across branches
+    survivor_ids = bounded_cache(
+        q.select("text_md5", "doc_id", "lang")
+        .groupBy("text_md5")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+        )
+        .select("doc_id", "lang")
     )
     # cached (O(langs)): min branch + rates branch share one aggregation
-    counts = bounded_cache(survivors.groupBy("lang").agg(F.count("*").alias("n")))
+    counts = bounded_cache(
+        survivor_ids.groupBy("lang").agg(F.count("*").alias("n"))
+    )
     # global min as an agg scalar + broadcast cross-join (unpartitioned
     # WindowExec is banned by tests/test_plan_smells.py — see
     # mix_rebalance_to_min)
@@ -440,10 +456,10 @@ def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         % 10000
     )
-    mixed = survivors.join(F.broadcast(rates), "lang").where(
+    mixed_ids = survivor_ids.join(F.broadcast(rates), "lang").where(
         bucket < F.col("rate") * 10000
-    )
-    chunks = mixed.select(
+    ).select("doc_id")
+    chunks = q.select(
         "doc_id",
         "lang",
         F.size("toks").alias("n"),
@@ -456,10 +472,12 @@ def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "chunk_idx",
         F.least(F.lit(CHUNK_W), F.col("n") - F.col("start")).alias("n_tok"),
-        F.md5(
-            F.array_join(F.slice("toks", F.col("start") + 1, F.lit(CHUNK_W)), " ")
+        F.unhex(
+            F.md5(
+                F.array_join(F.slice("toks", F.col("start") + 1, F.lit(CHUNK_W)), " ")
+            )
         ).alias("h"),
-    )
+    ).join(mixed_ids, "doc_id", "left_semi")
     w_chunk = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
     uchunks = (
         chunks.withColumn("rn", F.row_number().over(w_chunk))

@@ -141,6 +141,11 @@ EVIDENCE_RESET: dict[str, int] = {
     # and the oracle rebuilt on the portable XXH64 pipeline — the r4 pass
     # proved the string-keyed comparison, not this one
     "text_line_dedup_c4": 5,
+    # r5: both flagship composites rewrote their dedup stage so text /
+    # token arrays never shuffle (groupBy(md5).min ownership + semi-join
+    # instead of a wide-row window) — same oracle, new plan, re-prove
+    "pipeline_pretrain_full": 5,
+    "pipeline_rag_corpus": 5,
 }
 
 
