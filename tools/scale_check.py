@@ -455,11 +455,18 @@ def main() -> None:
     if only:
         selected = {k: selected[k] for k in only}
 
+    from bench import NOISE_LOAD_1M, _wait_for_quiet
+
     results: dict[str, dict] = {}
     stage_max = -1
     for name, fn in selected.items():
         times = {}
         shuffles: dict[str, dict] = {}
+        # this box's external load swings 0.2 -> 15 within minutes
+        # (SCALE.md §11): gate each pipeline on the same wait-for-quiet
+        # the bench uses, and stamp the residual load so a spiked ratio
+        # is never mistaken for a plan regression
+        load = _wait_for_quiet(max_wait=300.0)
         for label, rows in (("1x", BASE_ROWS), (f"{mult}x", BASE_ROWS * mult)):
             fn(synth(spark, rows)).write.format("noop").mode(
                 "overwrite"
@@ -484,7 +491,9 @@ def main() -> None:
                     }
             times[label] = round(best, 3)
         ratio = round(times[f"{mult}x"] / times["1x"], 2)
-        results[name] = {**times, "growth_ratio": ratio, "data_ratio": mult}
+        results[name] = {**times, "growth_ratio": ratio, "data_ratio": mult,
+                         "prerun_load_1m": round(load, 2),
+                         "noisy": load > NOISE_LOAD_1M}
         if shuffles:
             sb1 = shuffles["1x"]["shuffle_write_bytes"]
             sbN = shuffles[f"{mult}x"]["shuffle_write_bytes"]
