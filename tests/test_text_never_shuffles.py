@@ -1,33 +1,28 @@
-"""Mechanical guard for the r5 composite-pipeline invariant: document
-TEXT (and raw token arrays) must never cross an Exchange. Shipping text
-bytes through a shuffle is the single largest avoidable cost of a
-curation pipeline at 100 TB — survivor ownership, sampling and chunk
-filtering all operate on hashes and ids, so any text column appearing
-in an Exchange's input is a plan regression, not a tuning choice.
+"""Mechanical guard, registry-wide: document TEXT (and raw token
+arrays) must never cross a HASH/RANGE exchange. Shipping text bytes
+through a shuffle is the single largest avoidable cost of a curation
+pipeline at 100 TB — survivor ownership, sampling and chunk filtering
+all operate on hashes and ids, so a text column in an Exchange's input
+is a plan regression, not a tuning choice (r5 caught and fixed exactly
+this in both flagship composites).
+
+One shape is allowed: ``RoundRobinPartitioning`` from
+`operators/wordcount._fan_out_if_narrow` — a SIZE-GATED rebalance of an
+under-parallel scan (fewer partitions than half the slots) that is a
+no-op at any real corpus size and exists so a single small file uses
+every core. Hash/range exchanges get no such pass.
 
 The formatted physical plan lists each node's ``Input [..]`` columns;
-this test walks every Exchange section of the guarded queries' plans
-and asserts no text-carrying column is present.
+this test walks every Exchange section of every non-eager registered
+query and fails on a text-carrying hash/range exchange.
 """
 
 from __future__ import annotations
 
 import re
 
-import pytest
-
 from wordcount_spark.plans.explain import formatted_plan
-
-#: queries whose plans must never exchange text/token-array columns.
-#: (line dedup ships 15-token "line" strings only map-side; its one
-#: exchange carries the 128-bit hash pair.)
-GUARDED = [
-    "pipeline_pretrain_full",
-    "pipeline_rag_corpus",
-    "text_line_dedup_c4",
-    "dedup_exact",
-    "dedup_exact_survivors",
-]
+from wordcount_spark.registry import EAGER_QUERIES
 
 #: column-name prefixes that mean "corpus-sized text payload". Hash /
 #: id / length columns derived FROM text are exactly what should cross.
@@ -41,23 +36,37 @@ def _exchange_sections(plan: str) -> list[str]:
     return [s for s in sections if s.startswith("(") and " Exchange" in s.split("\n")[0]]
 
 
-@pytest.mark.parametrize("name", GUARDED)
-def test_no_text_column_crosses_an_exchange(spark, sf_dir, name):
+def _text_offenders(plan: str) -> list[str]:
+    offenders = []
+    for sec in _exchange_sections(plan):
+        lines = sec.split("\n")
+        if any("RoundRobinPartitioning" in ln for ln in lines):
+            continue  # the gated _fan_out_if_narrow rebalance (see module doc)
+        for line in lines:
+            if line.strip().startswith(("Input", "Arguments")) and TEXT_COLS.search(line):
+                offenders.append(lines[0] + " :: " + line.strip()[:120])
+    return offenders
+
+
+def test_no_text_column_crosses_a_hash_exchange_anywhere(spark, sf_dir):
     import __spark_entry__ as entrymod
 
-    df = entrymod.queries()[name](spark, sf_dir)
-    plan = formatted_plan(df)
-    sections = _exchange_sections(plan)
-    # non-vacuity: every guarded pipeline HAS exchanges (its dedup/agg
-    # stages); zero sections would mean the parser broke, not that the
-    # plan is shuffle-free (verified against the old window-over-
-    # md5(text) shape, which this scan flags with exactly one hit)
-    assert sections, f"{name}: no Exchange sections parsed — scan broken?"
-    offenders = []
-    for sec in sections:
-        for line in sec.split("\n"):
-            if line.strip().startswith(("Input", "Arguments")) and TEXT_COLS.search(line):
-                offenders.append(sec.split("\n")[0] + " :: " + line.strip()[:120])
-    assert not offenders, (
-        f"{name}: text-carrying column crosses an exchange —\n" + "\n".join(offenders)
+    qs = entrymod.queries()
+    bad: dict[str, list[str]] = {}
+    parsed_sections = 0
+    for name, fn in sorted(qs.items()):
+        if name in EAGER_QUERIES:
+            continue
+        plan = formatted_plan(fn(spark, sf_dir))
+        parsed_sections += len(_exchange_sections(plan))
+        offenders = _text_offenders(plan)
+        if offenders:
+            bad[name] = offenders
+    # non-vacuity: the registry's plans contain hundreds of exchanges;
+    # ~zero parsed would mean the section parser broke, not that every
+    # plan is shuffle-free (the scan is verified sensitive against the
+    # old window-over-md5(text) dedup shape)
+    assert parsed_sections > 100, f"only {parsed_sections} Exchange sections parsed"
+    assert not bad, "text-carrying columns cross hash/range exchanges:\n" + "\n".join(
+        f"{k}: {v[0]}" for k, v in bad.items()
     )
