@@ -196,3 +196,21 @@ def test_jdbc_derby_partitioned_read(spark, tmp_path):
     )
     assert part.rdd.getNumPartitions() == 4
     assert part.count() == nation.count()
+
+
+def test_orc_roundtrip_pushes_predicate(spark, tmp_path):
+    """ORC scans must receive the filter (stripe/row-group stats pruning)
+    — the property orc_roundtrip_lineitem's scale claim rests on."""
+    from wordcount_spark.sources.readers import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    path = str(tmp_path / "orc_li")
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path).filter(F.col("l_quantity") < 10)
+    plan = formatted_plan(back)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "l_quantity" in pushed, pushed
+    assert back.count() == li.filter("l_quantity < 10").count()

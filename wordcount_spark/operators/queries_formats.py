@@ -26,6 +26,22 @@ from wordcount_spark.sources.readers import load_table
 #: overwrite mode makes reuse safe: each call replaces the table.
 _DERBY_SCRATCH: str | None = None
 
+#: same leak class for the file round-trips (r5): ONE scratch dir per
+#: (process, purpose), removed at exit — every writer below uses
+#: mode("overwrite"), so reuse is safe by construction.
+_RT_SCRATCH: dict[str, str] = {}
+
+
+def _rt_scratch(purpose: str) -> str:
+    if purpose not in _RT_SCRATCH:
+        import atexit
+        import shutil
+
+        d = tempfile.mkdtemp(prefix=f"wcspark_{purpose}_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _RT_SCRATCH[purpose] = d
+    return _RT_SCRATCH[purpose]
+
 
 def _derby_scratch(spark: SparkSession) -> str:
     global _DERBY_SCRATCH
@@ -104,9 +120,7 @@ def parquet_partitioned_pruning_roundtrip(
     (5 types here); high-cardinality pruning belongs to clustering /
     Z-order (sources/compaction.py).
     """
-    import tempfile
-
-    tmp = tempfile.mkdtemp(prefix="wcspark_part_")
+    tmp = _rt_scratch("part")
     ev = load_table(spark, sf_dir, "events")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(f"{tmp}/events")
     back = spark.read.parquet(f"{tmp}/events").filter(
@@ -149,9 +163,7 @@ def csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     size: land CSV once, rewrite to parquet immediately (the write side
     here), and point every query at the parquet.
     """
-    import tempfile
-
-    tmp = tempfile.mkdtemp(prefix="wcspark_csv_")
+    tmp = _rt_scratch("csv")
     orders = load_table(spark, sf_dir, "orders")
     orders.write.mode("overwrite").option("header", True).csv(f"{tmp}/orders")
     back = (
@@ -168,6 +180,53 @@ def csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "orc_roundtrip_lineitem",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             AS cents
+    FROM lineitem WHERE l_quantity < 10
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    eager=True,
+)
+def orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip with predicate pushdown: the lineitem fact written
+    as ORC (the OTHER columnar lake format Spark ships natively — Hive
+    shops standardize on it), read back with a quantity filter that ORC
+    evaluates against stripe/row-group statistics (pushdown asserted in
+    tests/test_formats.py), DECIMAL-exact money aggregate. Any encoder/
+    decoder or stats-pruning bug diverges the hash against the original
+    parquet table.
+
+    Scale: unlike CSV/JSON interchange, ORC IS an analytics format —
+    columnar, compressed, min/max pruned — so the round-trip models a
+    real migration path (Hive/ORC warehouse → Spark) rather than an
+    ingest edge; filters and column pruning reach the scan exactly as
+    with parquet.
+    """
+    tmp = _rt_scratch("orc")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    li.write.mode("overwrite").orc(f"{tmp}/lineitem")
+    back = spark.read.orc(f"{tmp}/lineitem").filter(F.col("l_quantity") < 10)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .orderBy("l_returnflag")
     )
 
 
@@ -195,9 +254,7 @@ def json_lines_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     land once, convert to parquet. The PERMISSIVE corrupt-record
     quarantine path for dirty JSON is `read_json_quarantine`.
     """
-    import tempfile
-
-    tmp = tempfile.mkdtemp(prefix="wcspark_jsonl_")
+    tmp = _rt_scratch("jsonl")
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
