@@ -26,7 +26,12 @@ def test_no_raw_cache_outside_caching_module():
             path = os.path.join(root, f)
             src = open(path).read()
             for i, line in enumerate(src.split("\n"), start=1):
-                if ".cache()" in line.split("#")[0]:
+                code = line.split("#")[0]
+                # .persist( is the same pin with a storage-level arg —
+                # catching only .cache() would leave the loophole open
+                if ".cache()" in code or (
+                    ".persist(" in code and ".unpersist(" not in code
+                ):
                     offenders.append(f"{path}:{i}")
     assert not offenders, (
         "raw .cache() pins accumulate over long sessions — route through "
