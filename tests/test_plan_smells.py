@@ -138,3 +138,28 @@ def test_no_plan_smells(spark, plan_query):
             f"{plan_query} plans {len(bad)} unpartitioned window(s) "
             f"(single-task funnel): {bad}"
         )
+
+
+def test_topk_windows_plan_partial_group_limits(spark, sf_dir):
+    """Per-key top-k via row_number()+filter must keep the
+    WindowGroupLimit pair (partial BEFORE the exchange + final after):
+    the partial node makes each map task emit only its local top-k per
+    key, so a 3-query retrieval window never ships the full score
+    stream into 3 reducer partitions. A refactor that replaces the
+    rank<=k filter with a shape Catalyst can't push (e.g. rank arithmetic
+    inside a bigger predicate) silently loses the partial limit — this
+    pins it for the queries whose key cardinality is tiny by design."""
+    import __spark_entry__ as entrymod
+
+    from wordcount_spark.plans.explain import formatted_plan
+
+    qs = entrymod.queries()
+    for name in ("pipeline_rag_corpus", "retrieval_bm25_topk",
+                 "similarity_hard_negatives"):
+        plan = formatted_plan(qs[name](spark, sf_dir))
+        n = plan.count("WindowGroupLimit")
+        assert n >= 2, (
+            f"{name}: expected partial+final WindowGroupLimit pair, found {n} "
+            "— the per-key top-k now ships the full score stream through "
+            "the low-cardinality key exchange"
+        )
