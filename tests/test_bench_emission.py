@@ -104,3 +104,34 @@ def test_committed_bench_detail_sidecar_parses():
     if os.path.exists(bench.DETAIL_SIDECAR):
         side = json.load(open(bench.DETAIL_SIDECAR))
         assert side["metric"] == "headline_queries_total"
+
+
+def test_8x_corpus_manifest_invalidation(tmp_path):
+    """The 8x bench corpus regenerates on SOURCE change and reuses
+    otherwise (r4 keyed the cache on total bytes, which Caesar rotation
+    preserves — a content change could silently reuse stale variants;
+    the fix keys on a per-file (path, size, mtime) manifest)."""
+    src = tmp_path / "src.txt"
+    src.write_text("hello world\n" * 10)
+    scratch = str(tmp_path / "scratch")
+
+    out1 = bench._materialize_8x_corpus([str(src)], scratch)
+    assert len(out1) == 8  # original + 7 rotated variants
+    variants = sorted(p for p in out1 if p.startswith(scratch))
+    stamps1 = {p: os.path.getmtime(p) for p in variants}
+
+    # unchanged source -> reuse (no rewrite)
+    out2 = bench._materialize_8x_corpus([str(src)], scratch)
+    assert sorted(p for p in out2 if p.startswith(scratch)) == variants
+    assert {p: os.path.getmtime(p) for p in variants} == stamps1
+
+    # content change (same byte count, bumped mtime) -> regenerate
+    import time as _t
+    _t.sleep(1.1)  # mtime granularity
+    src.write_text("jelly xorld\n" * 10)
+    out3 = bench._materialize_8x_corpus([str(src)], scratch)
+    new_variants = sorted(p for p in out3 if p.startswith(scratch))
+    assert {p: os.path.getmtime(p) for p in new_variants} != stamps1
+    # and the rotated bytes actually reflect the new content
+    assert b"jelly" not in open(new_variants[0], "rb").read()  # rotated away
+    assert open(new_variants[0], "rb").read() != b""
