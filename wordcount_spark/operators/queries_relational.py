@@ -1608,3 +1608,60 @@ def dq_schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "join_theta_blocked",
+    """
+    SELECT s.s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(max(CAST(c.c_acctbal AS DECIMAL(18,2))
+                    - CAST(s.s_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+             AS max_gap_cents
+    FROM supplier s JOIN customer c ON c.c_acctbal > s.s_acctbal * 2
+    GROUP BY s.s_nationkey ORDER BY s.s_nationkey
+    """,
+)
+def join_theta_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General THETA join (pure inequality, no equi component) via
+    1-Bucket-Theta matrix blocking (Okcan & Riedewald, SIGMOD 2011 —
+    `operators/relational.theta_join_blocked`): customers whose balance
+    more than doubles a supplier's, aggregated per supplier nation. The
+    oracle runs the same non-equi join natively, so the blocked rewrite
+    must produce every qualifying pair exactly once — the exactly-once
+    cell-meeting property under differential test.
+
+    Scale: the ONLY way Spark plans a bare inequality join is
+    BroadcastNestedLoopJoin (fine until neither side broadcasts) or a
+    CartesianProduct (one task owns everything); the blocked form turns
+    it into an EQUI join on hash-assigned cell ids — every one of the
+    R*C cells holds |A|/R x |B|/C pairs regardless of value skew, so the
+    quadratic work is level across the cluster and per-task memory is
+    one block pair. Replication (A x C, B x R copies) is the documented
+    shuffle price; banded/as-of predicates should keep using the pruning
+    joins instead. DECIMAL-exact gap, doubles only in the predicate
+    (exact IEEE compare on both engines).
+    """
+    from wordcount_spark.operators.relational import theta_join_blocked
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    pairs = theta_join_blocked(
+        sup,
+        cust,
+        F.col("c_acctbal") > F.col("s_acctbal") * 2,
+        a_key="s_suppkey",
+        b_key="c_custkey",
+    )
+    return (
+        pairs.groupBy("s_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            (F.max(dec("c_acctbal") - dec("s_acctbal")) * 100)
+            .cast("long")
+            .alias("max_gap_cents"),
+        )
+        .orderBy("s_nationkey")
+    )

@@ -21,7 +21,7 @@ post-shuffle partitions at runtime, which is the 100 TB-safe default.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DEC = "decimal(18,2)"
@@ -66,3 +66,48 @@ def dbl(col: Column | str) -> Column:
     bits, hence the same string, under every coercion path. Mirror rule in
     oracle SQL: ``CAST(sum(...) AS DOUBLE)``."""
     return F.col(col).cast("double") if isinstance(col, str) else col.cast("double")
+
+
+def theta_join_blocked(
+    a: DataFrame,
+    b: DataFrame,
+    theta: Column,
+    a_key: str,
+    b_key: str,
+    r_blocks: int = 4,
+    c_blocks: int = 4,
+) -> DataFrame:
+    """General theta-join via 1-Bucket-Theta matrix blocking (Okcan &
+    Riedewald, "Processing theta-joins using MapReduce", SIGMOD 2011):
+    every A row takes ONE row-block (hash of ``a_key``) and replicates
+    across all ``c_blocks`` column-blocks; every B row takes ONE
+    column-block and replicates across all ``r_blocks`` row-blocks; an
+    EQUI join on the (row, col) cell id brings each (a, b) pair together
+    EXACTLY ONCE, where ``theta`` — an arbitrary predicate, no equi
+    component required — is evaluated.
+
+    Scale: an inherently quadratic join cannot avoid |A|x|B| predicate
+    evaluations, but it CAN avoid the two classic failure modes: a
+    CartesianProduct (one task owns everything) and a skewed key route.
+    Blocking guarantees every cell holds |A|/R x |B|/C pairs REGARDLESS
+    of value skew (block ids come from a hash, not from join values), so
+    work is level across R*C reducers; memory per task is one A-block +
+    one B-block (choose R, C so |A|/R and |B|/C fit — the paper's
+    square-root rule: R = C = sqrt(#reducers)). Replication multiplies
+    shuffle bytes by C (A side) and R (B side) — the documented price of
+    a balanced theta join; for predicates with a usable band structure
+    prefer `range_join_value_bands`/as-of, which prune instead of
+    replicate. Hash-assigned blocks are deterministic, so results are
+    partitioning-invariant (duplicate keys share a block — fine unless
+    one key is a large fraction of a side; salt ``a_key`` with a
+    secondary column then).
+    """
+    ar = a.withColumn("_r", F.pmod(F.xxhash64(a_key), F.lit(r_blocks)))
+    a_rep = ar.withColumn(
+        "_c", F.explode(F.sequence(F.lit(0), F.lit(c_blocks - 1)))
+    )
+    bc = b.withColumn("_c", F.pmod(F.xxhash64(b_key), F.lit(c_blocks)))
+    b_rep = bc.withColumn(
+        "_r", F.explode(F.sequence(F.lit(0), F.lit(r_blocks - 1)))
+    )
+    return a_rep.join(b_rep, ["_r", "_c"]).where(theta).drop("_r", "_c")
