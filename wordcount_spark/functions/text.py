@@ -35,8 +35,15 @@ ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
 # CLASS ([\p{Punct}\P{ASCII}]) rather than an alternation — the class is one
 # table lookup per char; the alternation form re-tries two branches per char
 # (~40% slower measured).
-_EDGE_STRIP = r"^[\p{Punct}\P{ASCII}]+|[\p{Punct}\P{ASCII}]+$"
-_EDGE_STRIP_ASCII = r"^\p{Punct}+|\p{Punct}+$"
+# \z (true end of input), NOT $: Java's default-mode $ also matches
+# BEFORE a trailing line terminator, and U+0085/U+2028/U+2029 are Java
+# line terminators that are NOT C++ operator>> whitespace — so they
+# survive tokenization, and a stale-mode token like '0:\x85' would have
+# its interior ':' stripped as "trailing" punct ('0\x85') while the
+# byte-level reference (and RE2's end-of-text $ in the DuckDB oracle)
+# keeps it ('0:\x85'). Found by hypothesis (test_property_normalizer).
+_EDGE_STRIP = r"^[\p{Punct}\P{ASCII}]+|[\p{Punct}\P{ASCII}]+\z"
+_EDGE_STRIP_ASCII = r"^\p{Punct}+|\p{Punct}+\z"
 
 #: Whitespace set of C++ ``operator>>`` (`` \t\n\v\f\r``). Java regex ``\s``
 #: is exactly ``[ \t\n\x0B\f\r]`` — the same set.
