@@ -63,3 +63,31 @@ def test_pin_count_bounded_under_repeated_lsh_indexing(spark, sf_dir):
         f"{jvm_live} RDDs pinned in the block manager (cap {caching.PIN_MAX}); "
         f"pins at test start: {start_live}"
     )
+
+
+def test_identical_plan_repin_refreshes_slot_not_appends(spark, sf_dir):
+    """Pin dedupe by plan semantics (VERDICT r5 item 3): re-invoking a
+    query rebuilds a logically identical frame whose ``.cache()`` maps to
+    the EXISTING CacheManager entry — appending a second FIFO slot for it
+    double-counts the entry, and evicting the OLDER slot unpersists data
+    the newer slot still counts on. A semantically identical re-pin must
+    refresh the existing slot and return the already-pinned frame."""
+    from wordcount_spark.operators import caching
+    from wordcount_spark.sources.readers import load_table
+
+    def build():  # rebuilt lineage each call — new expr ids, same semantics
+        return load_table(spark, sf_dir, "documents").select("doc_id").limit(7)
+
+    first = caching.bounded_cache(build())
+    first.count()  # materialize so the CacheManager entry is live
+    n_slots = len(caching._pins)
+    for _ in range(4):
+        again = caching.bounded_cache(build())
+    assert len(caching._pins) == n_slots, "identical re-pins must not append"
+    assert again is first, "re-pin must return the already-pinned frame"
+    # a genuinely different plan still gets its own slot
+    other = caching.bounded_cache(
+        load_table(spark, sf_dir, "documents").select("doc_id").limit(9)
+    )
+    assert other is not first
+    assert len(caching._pins) == n_slots + 1

@@ -15,9 +15,20 @@ class).
 Evicting is ALWAYS safe: an evicted frame that is re-executed later just
 recomputes its lineage (correctness is unaffected — only the reuse
 speed-up is lost, and only for a frame at least PIN_MAX queries old).
+
+Pins are DEDUPED on the plan's semantics (VERDICT r5 item 3): re-invoking
+a query rebuilds a logically identical frame, and Spark's CacheManager
+maps its ``.cache()`` onto the EXISTING cache entry ("Asked to cache
+already cached data") — so appending a second FIFO slot would double-count
+one entry, and evicting the older slot would unpersist data the newer slot
+still counts on. A re-pin of a semantically identical frame (same session)
+instead refreshes the existing slot's FIFO position and returns the
+already-pinned frame, so FIFO slots and CacheManager entries stay 1:1.
 """
 
 from __future__ import annotations
+
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame
 
@@ -26,16 +37,36 @@ from pyspark.sql import DataFrame
 #: while bounding block-manager growth over registry-wide sweeps.
 PIN_MAX = 32
 
-_pins: list[DataFrame] = []
+#: (session identity, plan semanticHash) -> pinned frame, insertion-ordered.
+#: semanticHash is 32-bit, so a hit is CONFIRMED with ``sameSemantics``
+#: before reuse (a collision falls through to an identity-keyed slot).
+_pins: OrderedDict[tuple, DataFrame] = OrderedDict()
 
 
 def bounded_cache(df: DataFrame) -> DataFrame:
-    """``df.cache()`` with session-wide bounded pinning (oldest evicted)."""
+    """``df.cache()`` with session-wide bounded pinning (oldest evicted;
+    a semantically identical re-pin refreshes its slot, never doubles it)."""
+    try:
+        key = (id(df.sparkSession), df.semanticHash())
+    except Exception:  # session mid-shutdown / analysis unavailable
+        key = None
+    if key is not None and key in _pins:
+        stored = _pins[key]
+        try:
+            same = df.sameSemantics(stored)
+        except Exception:
+            same = False
+        if same:
+            _pins.move_to_end(key)  # refresh, don't double-pin
+            return stored
+        key = (key, id(df))  # 32-bit semanticHash collision: distinct slot
     df = df.cache()
-    _pins.append(df)
+    if key is None:
+        key = ("anon", id(df))
+    _pins[key] = df
     while len(_pins) > PIN_MAX:
         try:
-            _pins.pop(0).unpersist()
+            _pins.popitem(last=False)[1].unpersist()
         except Exception:
             pass  # session already stopped / frame already unpersisted
     return df
