@@ -55,6 +55,24 @@ def pytest_generate_tests(metafunc):
         metafunc.parametrize("budget_query", sorted(SHUFFLE_BUDGET))
 
 
+def test_pretrain_survivor_ids_materialized_once(spark):
+    """VERDICT r5 item 2: pipeline_pretrain_full's survivor-id table
+    feeds two concurrent consumers (the broadcast mixture-rate branch and
+    the sampled-id semi-join); a merely-cached frame raced by both was
+    recomputed — scale_check measured the same ~22 MB-exchange stage
+    TWICE at 200×. The frame is now localCheckpointed at build time, so
+    the consuming plan must scan the materialized RDD and carry NO trace
+    of the content-hash aggregation — with the computation gone from the
+    plan, no scheduling order can run it a second time."""
+    df = _registry()["pipeline_pretrain_full"](spark, "/root/testdata/sf0.001")
+    plan = formatted_plan(df)
+    assert "text_md5" not in plan, (
+        "survivor aggregation leaked back into the consuming plan — the "
+        "concurrent-branch recompute race is open again:\n" + plan[:2000]
+    )
+    assert "Scan ExistingRDD" in plan, "survivor ids no longer checkpointed"
+
+
 def test_shuffle_budget(spark, budget_query):
     df = _registry()[budget_query](spark, "/root/testdata/sf0.001")
     plan = formatted_plan(df)

@@ -414,7 +414,9 @@ def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     both dedups key on md5 (16 bytes, uniform) rather than text; the
     split is a pure hash of doc_id (salted differently from the sampling
     hash so the two decisions are independent), so no shuffle — chunks
-    of one doc always land one side."""
+    of one doc always land one side. The narrow survivor-id table is
+    eagerly persisted between stages (localCheckpoint — see the inline
+    note) so concurrent branch scheduling cannot recompute it."""
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
@@ -427,10 +429,17 @@ def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = t.where(F.size("toks") >= 20)
     # survivor = min doc_id per content hash, carrying ITS OWN lang
     # (min_by ≡ the old window's rn=1 row) — a ~30-byte/row exchange.
-    # cached (O(survivors) ids, no arrays): the rates branch and the
-    # sampled-id filter both consume it, and Spark does not reuse
-    # exchanges across branches
-    survivor_ids = bounded_cache(
+    # PERSISTED between stages via localCheckpoint (VERDICT r5 item 2):
+    # the rates branch (computed through a broadcast exchange on a
+    # concurrent driver thread) and the sampled-id semi-join both consume
+    # it, and a merely-CACHED frame raced by two concurrent stages inside
+    # one action is recomputed — scale_check measured this exact stage
+    # twice (~22 MB exchange each) at 200x. The frame is NARROW: O(docs)
+    # (id, lang) rows, never token arrays, so the eager materialization
+    # is cheap at every scale (at 100 TB a production pipeline persists
+    # this table to reliable storage between stages anyway; local
+    # checkpoint is the single-job equivalent).
+    survivor_ids = (
         q.select("text_md5", "doc_id", "lang")
         .groupBy("text_md5")
         .agg(
@@ -438,6 +447,7 @@ def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("lang", "doc_id").alias("lang"),
         )
         .select("doc_id", "lang")
+        .localCheckpoint()
     )
     # cached (O(langs)): min branch + rates branch share one aggregation
     counts = bounded_cache(
