@@ -164,9 +164,11 @@ def _emit_final_line(out: dict, detail: dict) -> None:
     with open(DETAIL_SIDECAR, "w") as f:
         json.dump({**out, "detail": detail}, f, indent=1, sort_keys=True)
     line = json.dumps(out, separators=(",", ":"))
-    # shed order: diagnostics first, spec-required fields never
-    for key in ("reference_corpus_8x_mb_per_sec", "reference_corpus_mb_per_sec",
-                "host_load_avg_1m_prerun", "noisy"):
+    # shed order: throughput diagnostics ONLY — "noisy" and its load stamp
+    # are the run-validity flags (~25 bytes combined) and are UN-SHEDDABLE
+    # (ADVICE r5: shedding them would let a consumer of the headline line
+    # read a noisy run as clean); spec-required fields never shed either
+    for key in ("reference_corpus_8x_mb_per_sec", "reference_corpus_mb_per_sec"):
         if len(line) <= LINE_BUDGET:
             break
         out.pop(key, None)
@@ -241,14 +243,25 @@ def main() -> None:
         post = _cpu_calibration(spark)
         return timings, query_load, pre, post
 
-    # retry-once-on-drift: this host's hypervisor steals CPU episodically
+    # retry-on-drift: this host's hypervisor steals CPU episodically
     # (nonzero cumulative %steal; loadavg never sees it), so a single pass
-    # can straddle a steal window even after the pre-run load gate. One
-    # retry usually lands inside a stable window; if both passes drift the
-    # emission is marked noisy and bench_compare refuses it.
+    # can straddle a steal window even after the pre-run load gate. The
+    # QUIETEST pass (lowest calibration drift) becomes the official line
+    # (VERDICT r5 item 5 — the r5 artifact emitted the last pass even
+    # though an earlier one was calmer); every pass is kept in the
+    # sidecar. If no pass is calm the emission is marked noisy and
+    # bench_compare refuses it.
+    attempts: list[dict] = []
     for _attempt in range(2):
         timings, query_load, calib_pre, calib_post = headline_pass()
         drift = max(calib_pre, calib_post) / max(min(calib_pre, calib_post), 1e-9)
+        attempts.append({
+            "queries": timings,
+            "query_load_1m": query_load,
+            "cpu_calib_pre_sec": round(calib_pre, 4),
+            "cpu_calib_post_sec": round(calib_post, 4),
+            "calib_drift": round(drift, 3),
+        })
         if drift <= CALIB_DRIFT_NOISY:
             break
         print(
@@ -256,6 +269,11 @@ def main() -> None:
             f"{calib_post:.3f}s), retrying headline pass",
             file=sys.stderr,
         )
+    best_attempt = min(attempts, key=lambda a: a["calib_drift"])
+    timings = best_attempt["queries"]
+    query_load = best_attempt["query_load_1m"]
+    calib_pre = best_attempt["cpu_calib_pre_sec"]
+    calib_post = best_attempt["cpu_calib_post_sec"]
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -293,6 +311,9 @@ def main() -> None:
         # under CHANGING conditions and can't be compared round-over-round.
         "cpu_calib_pre_sec": round(calib_pre, 4),
         "cpu_calib_post_sec": round(calib_post, 4),
+        # every headline pass, including drift-discarded ones — the
+        # official line above is the quietest of these
+        "headline_attempts": attempts,
     }
 
     # Apples-to-apples vs the reference's ONE compute-derived number: its

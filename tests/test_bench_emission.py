@@ -89,6 +89,10 @@ def test_oversized_payload_sheds_diagnostics_not_queries(tmp_path):
     assert len(final) <= bench.LINE_BUDGET
     parsed = json.loads(final)
     assert parsed["queries"], "queries must never be shed entirely"
+    # run-validity flags are UN-SHEDDABLE (ADVICE r5): a consumer parsing
+    # only the headline line must never read a noisy run as clean
+    assert "noisy" in parsed
+    assert "host_load_avg_1m_prerun" in parsed
     if parsed.get("queries_truncated"):
         # the kept subset is the slowest (signal-bearing) tail
         kept = set(parsed["queries"])
