@@ -129,6 +129,31 @@ def test_failed_driver_rows_do_not_count_as_checked(tmp_path, monkeypatch):
     assert "err_q" not in seen
 
 
+def test_variant_filenames_are_skipped_entirely(tmp_path, monkeypatch):
+    """Strict round parse (ADVICE r5): a non-canonical filename such as
+    CORRECTNESS_r99_retry.json must contribute NO evidence — the old
+    split-based parse fell back to round 0, which discarded its rows for
+    EVIDENCE_RESET queries while still counting them for every other
+    query (an inconsistent half-read of an artifact the driver never
+    wrote)."""
+    import json
+
+    from wordcount_spark import registry
+
+    rows = {
+        "variant_green_q": {"rows_match": True, "schema_match": True,
+                            "hash_match": True, "err": None},
+    }
+    (tmp_path / "CORRECTNESS_r99_retry.json").write_text(json.dumps(rows))
+    import glob as glob_mod
+
+    monkeypatch.setattr(
+        glob_mod, "glob",
+        lambda pat: [str(tmp_path / "CORRECTNESS_r99_retry.json")],
+    )
+    assert "variant_green_q" not in registry.driver_checked()
+
+
 def test_rows_only_pass_does_not_satisfy_oracle_backed(tmp_path, monkeypatch):
     """A query UPGRADED from rows-only to oracle-backed must drop back to
     the unseen class: its old rows_match pass says nothing about the new

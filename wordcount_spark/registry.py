@@ -104,19 +104,26 @@ def driver_checked() -> frozenset[str]:
     import glob
     import json
     import os
+    import re
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     hash_seen: set[str] = set()
     rows_seen: set[str] = set()
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        # strict round parse (ADVICE r5): a variant filename such as
+        # CORRECTNESS_r05_retry.json is NOT a canonical driver artifact —
+        # the old split-based parse fell back to rnd=0 and silently
+        # discarded its evidence for EVIDENCE_RESET queries while still
+        # counting it for everything else. Skip non-conforming names
+        # entirely so stale-evidence filtering can't misfire on a rename.
+        m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             rows = json.load(open(path))
         except (OSError, ValueError):
             continue
-        try:  # CORRECTNESS_r04.json -> 4
-            rnd = int(os.path.basename(path).split("_r")[-1].split(".")[0])
-        except ValueError:
-            rnd = 0
         for name, row in rows.items():
             if not isinstance(row, dict) or row.get("err"):
                 continue
