@@ -279,6 +279,11 @@ def pipelines():
                 F.min_by("lang", "doc_id").alias("lang"),
             )
             .select("doc_id", "lang")
+            # persisted between stages, mirroring the registered query
+            # (r6): merely caching this two-consumer frame let concurrent
+            # branch scheduling recompute it — the duplicate ~22 MB
+            # exchange this sweep measured at 200x
+            .localCheckpoint()
         )
         counts = survivor_ids.groupBy("lang").agg(F.count("*").alias("n"))
         min_n = counts.agg(F.min("n").alias("min_n"))
@@ -405,8 +410,13 @@ def pipelines():
 
 def _shuffle_bytes_since(spark, prev_stage_max: int) -> tuple[int, int, int]:
     """(total shuffle-write bytes, peak per-stage bytes, new max stage id)
-    over all stages with id > prev_stage_max, read from the UI REST API
-    (the session is built with the UI on for exactly this purpose)."""
+    over all COMPLETE stages with id > prev_stage_max, read from the UI
+    REST API (the session is built with the UI on for exactly this
+    purpose). Failed/retried stage attempts are excluded (ADVICE r5): a
+    mid-run task retry would otherwise double-count its bytes and inflate
+    the committed bytes_growth_ratio relative to the timed best run. The
+    max stage id still advances over skipped stages so the next window
+    never re-reads them."""
     import urllib.request
 
     base = spark.sparkContext.uiWebUrl
@@ -421,6 +431,8 @@ def _shuffle_bytes_since(spark, prev_stage_max: int) -> tuple[int, int, int]:
         if s["stageId"] <= prev_stage_max:
             continue
         max_id = max(max_id, s["stageId"])
+        if s.get("status") != "COMPLETE":
+            continue
         b = s.get("shuffleWriteBytes", 0)
         total += b
         peak = max(peak, b)
@@ -485,10 +497,16 @@ def main() -> None:
                 best = min(best, time.monotonic() - t0)
                 if only:
                     tot, peak, stage_max = _shuffle_bytes_since(spark, stage_max)
-                    shuffles[label] = {
-                        "shuffle_write_bytes": tot,
-                        "peak_stage_bytes": peak,
-                    }
+                    # min across repetitions (ADVICE r5): clean runs write
+                    # identical bytes, so the floor discards any repetition
+                    # inflated by a retried stage — matching how `times`
+                    # keeps best-of
+                    prev = shuffles.get(label)
+                    if prev is None or tot < prev["shuffle_write_bytes"]:
+                        shuffles[label] = {
+                            "shuffle_write_bytes": tot,
+                            "peak_stage_bytes": peak,
+                        }
             times[label] = round(best, 3)
         ratio = round(times[f"{mult}x"] / times["1x"], 2)
         results[name] = {**times, "growth_ratio": ratio, "data_ratio": mult,
