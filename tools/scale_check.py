@@ -529,15 +529,22 @@ def main() -> None:
             doc = json.load(open(out))
         except (OSError, ValueError):
             doc = {"base_rows": BASE_ROWS, "multiplier": 50, "pipelines": {}}
-        doc[f"composites_{mult}x"] = results
+        # per-pipeline merge: re-running ONE composite must not drop the
+        # other's committed result from the artifact
+        doc.setdefault(f"composites_{mult}x", {}).update(results)
         with open(out, "w") as f:
             json.dump(doc, f, indent=2)
     else:
+        # a full-sweep rewrite must not drop committed composites_* runs
+        try:
+            doc = json.load(open(out))
+        except (OSError, ValueError):
+            doc = {}
+        doc.update(
+            {"base_rows": BASE_ROWS, "multiplier": mult, "pipelines": results}
+        )
         with open(out, "w") as f:
-            json.dump(
-                {"base_rows": BASE_ROWS, "multiplier": mult, "pipelines": results},
-                f, indent=2,
-            )
+            json.dump(doc, f, indent=2)
     print(f"wrote {out}")
     spark.stop()
 
