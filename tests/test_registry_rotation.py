@@ -175,3 +175,74 @@ def test_rows_only_pass_does_not_satisfy_oracle_backed(tmp_path, monkeypatch):
         glob_mod, "glob", lambda pat: [str(tmp_path / "CORRECTNESS_r99.json")]
     )
     assert oracle_backed not in registry.driver_checked()
+
+
+def test_checked_class_orders_by_stalest_evidence(tmp_path, monkeypatch):
+    """Already-checked queries re-enter the window OLDEST evidence first,
+    not in registration order (r6 verdict: post-drain windows would
+    otherwise re-prove the same earliest-registered slice forever)."""
+    import json
+
+    from wordcount_spark import registry
+
+    registry._load_all()
+    names = [n for n in registry.ORACLES if n not in registry.SENTINELS][:4]
+    green = {"rows_match": True, "schema_match": True,
+             "hash_match": True, "err": None}
+    # evidence rounds deliberately anti-correlated with registration order
+    (tmp_path / "CORRECTNESS_r97.json").write_text(
+        json.dumps({names[3]: green, names[1]: green}))
+    (tmp_path / "CORRECTNESS_r98.json").write_text(
+        json.dumps({names[0]: green, names[2]: green}))
+    import glob as glob_mod
+
+    monkeypatch.setattr(
+        glob_mod, "glob",
+        lambda pat: [str(tmp_path / f) for f in
+                     ("CORRECTNESS_r97.json", "CORRECTNESS_r98.json")],
+    )
+    ordered = list(registry.get_queries())
+    checked = [n for n in ordered if n in names]
+    # r97 evidence (stale) before r98 evidence; reg order breaks ties
+    reg_pos = {n: i for i, n in enumerate(registry.QUERIES)}
+    expect = sorted(names, key=lambda n: (97 if n in (names[3], names[1])
+                                          else 98, reg_pos[n]))
+    assert checked == expect, f"{checked} != {expect}"
+
+
+def test_consecutive_windows_cycle_disjoint_checked_slices(tmp_path,
+                                                           monkeypatch):
+    """Post-drain simulation: with every query driver-checked, committing
+    round N's window must rotate a DISJOINT already-checked slice into
+    round N+1's window (the staleness queue cycles the whole registry)."""
+    import json
+
+    from wordcount_spark import registry
+
+    registry._load_all()
+    green = {"rows_match": True, "schema_match": True,
+             "hash_match": True, "err": None}
+    files = {"CORRECTNESS_r90.json":
+             json.dumps({n: green for n in registry.QUERIES})}
+    import glob as glob_mod
+
+    monkeypatch.setattr(
+        glob_mod, "glob",
+        lambda pat: [str(tmp_path / f) for f in sorted(files)],
+    )
+
+    def window():
+        return list(registry.get_queries())[:WINDOW]
+
+    for fname, content in files.items():
+        (tmp_path / fname).write_text(content)
+    w1 = window()
+    # the driver "runs" w1 and commits its results as round 91
+    files["CORRECTNESS_r91.json"] = json.dumps({n: green for n in w1})
+    (tmp_path / "CORRECTNESS_r91.json").write_text(
+        files["CORRECTNESS_r91.json"])
+    w2 = window()
+    s1 = {n for n in w1 if n not in registry.SENTINELS}
+    s2 = {n for n in w2 if n not in registry.SENTINELS}
+    assert s1, "window 1 empty beyond sentinels"
+    assert not (s1 & s2), f"windows overlap beyond sentinels: {s1 & s2}"

@@ -89,26 +89,32 @@ SENTINELS: tuple[str, ...] = (
 )
 
 
-def driver_checked() -> frozenset[str]:
-    """Names whose committed driver evidence matches their CURRENT
-    evidence class: an oracle-backed query needs a passing hash_match
-    row; a rows-only query needs a passing rows_match row. A FAILED row
-    does NOT count — the query stays in the unseen class, so it
-    re-enters the very next graded window and keeps re-entering until
-    the driver itself sees the fix pass (a red row rotating out
-    unverified would be the quiet way to bury a regression). Likewise a
-    query UPGRADED from rows-only to oracle-backed (r4 upgraded eight)
-    drops back to unseen: its old rows-only pass says nothing about the
-    new hash comparison, so the stronger check must be re-proven by the
-    driver."""
+def driver_checked_rounds() -> dict[str, int]:
+    """name -> MOST RECENT round whose committed driver evidence matches
+    the query's CURRENT evidence class: an oracle-backed query needs a
+    passing hash_match row; a rows-only query needs a passing rows_match
+    row. A FAILED row does NOT count — the query stays in the unseen
+    class, so it re-enters the very next graded window and keeps
+    re-entering until the driver itself sees the fix pass (a red row
+    rotating out unverified would be the quiet way to bury a regression).
+    Likewise a query UPGRADED from rows-only to oracle-backed (r4
+    upgraded eight) drops back to unseen: its old rows-only pass says
+    nothing about the new hash comparison, so the stronger check must be
+    re-proven by the driver.
+
+    The round number is the staleness signal for the rotation: once the
+    unseen backlog drains, already-checked queries re-enter the graded
+    window oldest-evidence-first (r6 verdict: sorting them by
+    registration position re-proved the same earliest-registered ~43
+    queries forever while mid-registry evidence aged indefinitely)."""
     import glob
     import json
     import os
     import re
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    hash_seen: set[str] = set()
-    rows_seen: set[str] = set()
+    hash_rounds: dict[str, int] = {}
+    rows_rounds: dict[str, int] = {}
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         # strict round parse (ADVICE r5): a variant filename such as
         # CORRECTNESS_r05_retry.json is NOT a canonical driver artifact —
@@ -130,10 +136,21 @@ def driver_checked() -> frozenset[str]:
             if rnd < EVIDENCE_RESET.get(name, 0):
                 continue  # evidence predates a semantic change — stale
             if row.get("hash_match"):
-                hash_seen.add(name)
+                hash_rounds[name] = max(hash_rounds.get(name, 0), rnd)
             elif row.get("hash_match") is None and row.get("rows_match"):
-                rows_seen.add(name)
-    return frozenset(hash_seen | {n for n in rows_seen if n not in ORACLES})
+                rows_rounds[name] = max(rows_rounds.get(name, 0), rnd)
+    out = dict(hash_rounds)
+    for name, rnd in rows_rounds.items():
+        # a rows-only pass satisfies only queries with no oracle today
+        if name not in ORACLES:
+            out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
+def driver_checked() -> frozenset[str]:
+    """Names with any committed driver evidence matching their current
+    evidence class (see :func:`driver_checked_rounds`)."""
+    return frozenset(driver_checked_rounds())
 
 
 #: name -> first round whose driver evidence still counts. Set when a
@@ -159,20 +176,26 @@ EVIDENCE_RESET: dict[str, int] = {
 def _ordered(d: dict) -> dict:
     """Deterministic rotation order: sentinels, then driver-unseen queries
     (oracle-backed before rows-only — hash evidence is stronger), then the
-    already-checked remainder. Unseen classes sort NEWEST registration
-    first: a query registered this round is the least-tested code in the
-    repo and is guaranteed a slot in the very next driver window, while
-    the older unseen backlog drains in subsequent rounds."""
-    seen = driver_checked()
+    already-checked remainder OLDEST EVIDENCE FIRST. Unseen classes sort
+    NEWEST registration first: a query registered this round is the
+    least-tested code in the repo and is guaranteed a slot in the very
+    next driver window, while the older unseen backlog drains in
+    subsequent rounds. The already-checked class sorts by ascending
+    last-checked round (then registration order): once the backlog is
+    empty, consecutive windows cycle through the WHOLE registry instead
+    of re-proving the same earliest-registered slice forever — committing
+    a round's CORRECTNESS file is the act that pushes its queries to the
+    back of the staleness queue (r6 verdict item 2)."""
+    rounds = driver_checked_rounds()
     reg_pos = {n: i for i, n in enumerate(QUERIES)}
 
-    def key(n: str) -> tuple[int, int]:
+    def key(n: str) -> tuple[int, int, int]:
         if n in SENTINELS:
-            return (0, reg_pos.get(n, 0))
-        if n not in seen:
+            return (0, 0, reg_pos.get(n, 0))
+        if n not in rounds:
             cls = 1 if n in ORACLES else 2
-            return (cls, -reg_pos.get(n, 0))  # newest first
-        return (3, reg_pos.get(n, 0))
+            return (cls, 0, -reg_pos.get(n, 0))  # newest first
+        return (3, rounds[n], reg_pos.get(n, 0))  # stalest first
 
     return {n: d[n] for n in sorted(d, key=key)}
 
