@@ -35,7 +35,7 @@ def test_frozen_artifact_matches_regeneration_from_committed_data(spark):
     )
     cents, books = train(spark, TRAIN_SF_DIR)
     regenerated = render(cents, books, TRAIN_SF_DIR)
-    assert regenerated == committed, (
+    msg = (
         "frozen_codebooks.py no longer matches what tools/freeze_codebooks.py "
         "regenerates from the committed sf0.01 embeddings — either the "
         "artifact was hand-edited or the trainer/data changed without a "
@@ -43,3 +43,28 @@ def test_frozen_artifact_matches_regeneration_from_committed_data(spark):
         f"{TRAIN_SF_DIR}` ONLY if the change is intended (it shifts every "
         "IVF/PQ search result and demotes their driver evidence)"
     )
+    if regenerated == committed:
+        return  # byte-identical: the strong (and normal) outcome
+    # ADVICE r6: the trainer's float aggregations are partition-order-
+    # dependent in the last ulp, so a centroid coordinate sitting exactly
+    # on a 4-decimal rounding boundary can flip its rendered text between
+    # runs without any real drift. Tolerate EXACTLY that: identical
+    # structure and every numeric within one quantum (1e-4); anything
+    # larger is genuine drift and still fails.
+    def _load(text: str) -> dict:
+        ns: dict = {}
+        exec(compile(text, "<codebooks>", "exec"), ns)  # noqa: S102 — our artifact
+        return {k: v for k, v in ns.items() if not k.startswith("__")}
+
+    got, want = _load(regenerated), _load(committed)
+    assert set(got) == set(want), msg
+
+    def _close(a, b) -> bool:
+        if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+            return len(a) == len(b) and all(_close(x, y) for x, y in zip(a, b))
+        if isinstance(a, float) or isinstance(b, float):
+            return abs(float(a) - float(b)) <= 1e-4 + 1e-12
+        return a == b
+
+    for k in want:
+        assert _close(got[k], want[k]), f"{k} drifted beyond one quantum: {msg}"

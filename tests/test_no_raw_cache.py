@@ -49,10 +49,14 @@ def test_pin_count_bounded_under_repeated_lsh_indexing(spark, sf_dir):
     from wordcount_spark.operators.dedup import lsh_banded_index, minhash_signatures_arr
     from wordcount_spark.sources.readers import load_table
 
-    docs = load_table(spark, sf_dir, "documents").limit(50)
-    sigs = minhash_signatures_arr(docs, num_hashes=8)
+    docs = load_table(spark, sf_dir, "documents")
     start_live = len(caching._pins)
-    for _ in range(caching.PIN_MAX + 8):
+    for i in range(caching.PIN_MAX + 8):
+        # DISTINCT plan per iteration (ADVICE r6): identical re-pins
+        # dedupe onto one slot and would never approach the cap — the
+        # varying limit keeps every iteration a genuinely new pin so
+        # FIFO eviction is actually exercised here.
+        sigs = minhash_signatures_arr(docs.limit(40 + i), num_hashes=8)
         idx = lsh_banded_index(sigs, bands=2, rows=4)
         idx.count()  # materialize so the pin actually holds blocks
     assert len(caching._pins) <= caching.PIN_MAX
@@ -78,6 +82,16 @@ def test_identical_plan_repin_refreshes_slot_not_appends(spark, sf_dir):
     def build():  # rebuilt lineage each call — new expr ids, same semantics
         return load_table(spark, sf_dir, "documents").select("doc_id").limit(7)
 
+    # drain pins carried over from other test files (ADVICE r6: the spark
+    # fixture is session-scoped, so _pins can arrive AT the cap here —
+    # an insert then evicts the oldest and keeps the length constant,
+    # making length-delta asserts ordering-sensitive). Eviction is always
+    # safe by design, so clearing is a legal session state.
+    while caching._pins:
+        try:
+            caching._pins.popitem(last=False)[1].unpersist()
+        except Exception:
+            pass
     first = caching.bounded_cache(build())
     first.count()  # materialize so the CacheManager entry is live
     n_slots = len(caching._pins)
@@ -91,3 +105,4 @@ def test_identical_plan_repin_refreshes_slot_not_appends(spark, sf_dir):
     )
     assert other is not first
     assert len(caching._pins) == n_slots + 1
+    assert any(p is other for p in caching._pins.values())

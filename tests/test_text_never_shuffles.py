@@ -70,3 +70,28 @@ def test_no_text_column_crosses_a_hash_exchange_anywhere(spark, sf_dir):
     assert not bad, "text-carrying columns cross hash/range exchanges:\n" + "\n".join(
         f"{k}: {v[0]}" for k, v in bad.items()
     )
+
+
+def test_pretrain_pre_checkpoint_survivor_plan_is_text_free(spark, sf_dir):
+    """ADVICE r6: `pipeline_pretrain_full` localCheckpoint()s its
+    survivor-id table at build time, truncating lineage — the registry-
+    wide scan above therefore never sees the survivor aggregation's
+    sub-plan, and a text/token-array shuffle introduced upstream of the
+    checkpoint would be invisible to it. Inspect the PRE-checkpoint
+    frame directly through the shared helper the query itself builds
+    from."""
+    from wordcount_spark.operators.queries_llmprep import (
+        _pretrain_quality_docs,
+        pretrain_survivor_ids_plan,
+    )
+    from wordcount_spark.sources.readers import load_table
+
+    q = _pretrain_quality_docs(load_table(spark, sf_dir, "documents"))
+    plan = formatted_plan(pretrain_survivor_ids_plan(q))
+    sections = _exchange_sections(plan)
+    assert sections, "survivor plan lost its aggregation exchange entirely"
+    offenders = _text_offenders(plan)
+    assert not offenders, (
+        "text/token columns cross the pre-checkpoint survivor exchange:\n"
+        + "\n".join(offenders)
+    )

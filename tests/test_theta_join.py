@@ -69,10 +69,15 @@ def test_grid_sized_from_measured_inputs_non_square():
     assert c > r
     assert r * c == pytest.approx(64, rel=0.3)
     # blocks never exceed the side's row count; empty/tiny inputs -> 1x1
-    assert theta_grid(2, 1_000_000, 32) == (1, 32) or theta_grid(
-        2, 1_000_000, 32
-    )[0] <= 2
     assert theta_grid(0, 0, 32) == (1, 1)
+    # clamping one axis re-budgets the other (ADVICE r6): extreme skew
+    # must NOT blow R*C past the parallelism (the raw rule gives
+    # R=0.008 -> clamp 1, and keeping the raw C=4000 made 4000 cells)
+    assert theta_grid(2, 1_000_000, 32) == (1, 32)
+    for na, nb, p in ((2, 1_000_000, 32), (1, 10**9, 64), (10**9, 3, 16)):
+        r, c = theta_grid(na, nb, p)
+        assert r * c <= 2 * p, (na, nb, p, r, c)
+        assert r <= max(na, 1) and c <= max(nb, 1)
 
 
 def test_temp_columns_collision_free(spark):
@@ -103,3 +108,39 @@ def test_shared_column_names_rejected(spark):
     b = spark.range(3).select(F.col("id").alias("bid"), F.lit(2).alias("v"))
     with pytest.raises(ValueError, match="disjoint"):
         theta_join_blocked(a, b, F.lit(True), "id", "bid")
+
+
+def test_measured_grid_memoized_per_plan(spark, sf_dir, monkeypatch):
+    """Auto-sizing must not run its two count() jobs on every DataFrame
+    BUILD (ADVICE r6): plan-only sweeps (audit_plans, plan-smell tests,
+    the registry-wide text-never-shuffles scan) construct every query
+    repeatedly, and an unmemoized measured grid turns each construction
+    into real Spark jobs. Rebuilding the same logical join in the same
+    session must size the grid exactly once."""
+    from wordcount_spark.operators import relational
+
+    calls: list[tuple] = []
+    real = relational.theta_grid
+    monkeypatch.setattr(
+        relational, "theta_grid", lambda *a: (calls.append(a), real(*a))[1]
+    )
+    relational._GRID_MEMO.clear()
+
+    def build():  # fresh lineage each time — same semantics
+        sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+        cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+        return theta_join_blocked(
+            sup, cust, F.col("c_acctbal") > F.col("s_acctbal") * 2,
+            "s_suppkey", "c_custkey",
+        )
+
+    for _ in range(3):
+        build()
+    assert len(calls) == 1, f"grid sized {len(calls)} times for one logical join"
+    # distinct inputs still get their own measurement
+    sup2 = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    theta_join_blocked(
+        sup2.limit(3), load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal"), F.lit(True), "s_suppkey", "c_custkey",
+    )
+    assert len(calls) == 2

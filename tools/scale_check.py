@@ -340,10 +340,13 @@ def pipelines():
         # survivorship is a groupBy(md5).min(doc_id) over a (hash, id)
         # projection and the chunk counts are computed pre-dedup with a
         # doc-keyed semi-join; the r4 shape's md5 window carried the
-        # full text through the exchange) → embedding attach (1:1 id
-        # join; embedding derived deterministically in-plan since
-        # synthdocs has no vector column — same width, same join/shuffle
-        # shape) → broadcast 3-query cosine top-5.
+        # full text through the exchange; r7: the VECTORS never shuffle
+        # either — cosine is computed map-side on the embedding scan
+        # against the broadcast query set BEFORE the doc-id attach, so
+        # the join exchanges 24-byte (qid, doc_id, cos) score rows, not
+        # ~520-byte vector rows; embedding derived deterministically
+        # in-plan since synthdocs has no vector column — same width,
+        # same scan shape) → broadcast 3-query cosine top-5.
         from pyspark.sql import Window
 
         from wordcount_spark.operators.queries_similarity import cosine
@@ -365,7 +368,6 @@ def pipelines():
             ).cast("float"),
         )
         emb = df.select("doc_id", emb_expr.alias("embedding"))
-        corpus = chunks.join(emb, "doc_id").select("doc_id", "n_chunks", "embedding")
         # query frame from a 3-row range, NOT a corpus scan: the
         # registered query reads its 3 query vectors from the embeddings
         # table with a pushed-down vec_id predicate (touches 3 rows);
@@ -381,9 +383,12 @@ def pipelines():
                 ).cast("float"),
             ).alias("q_emb"),
         )
-        sims = corpus.crossJoin(F.broadcast(q)).select(
-            "qid", "doc_id", "n_chunks",
+        scores = emb.crossJoin(F.broadcast(q)).select(
+            "qid", "doc_id",
             cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+        sims = scores.join(chunks, "doc_id").select(
+            "qid", "doc_id", "n_chunks", "cos"
         )
         w_rank = Window.partitionBy("qid").orderBy(F.desc("cos"), "doc_id")
         return (
@@ -414,23 +419,44 @@ def _shuffle_bytes_since(spark, prev_stage_max: int) -> tuple[int, int, int]:
     REST API (the session is built with the UI on for exactly this
     purpose). Failed/retried stage attempts are excluded (ADVICE r5): a
     mid-run task retry would otherwise double-count its bytes and inflate
-    the committed bytes_growth_ratio relative to the timed best run. The
-    max stage id still advances over skipped stages so the next window
-    never re-reads them."""
+    the committed bytes_growth_ratio relative to the timed best run.
+
+    ADVICE r6: max_id must NOT advance over a non-terminal stage — a
+    stage whose listener-bus update lags (still ACTIVE when read right
+    after .save() returns) would be dropped now and permanently excluded
+    from the next window, and min-across-repetitions would then prefer
+    that undercounted rep. So: poll briefly until the window has no
+    ACTIVE/PENDING stages, then advance max_id only across the terminal
+    prefix (in stage-id order) so anything still in flight is re-read on
+    the next call rather than silently lost."""
     import urllib.request
 
     base = spark.sparkContext.uiWebUrl
     apps = json.load(urllib.request.urlopen(f"{base}/api/v1/applications"))
     app_id = apps[0]["id"]
-    stages = json.load(
-        urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/stages")
-    )
+
+    def _window():
+        stages = json.load(
+            urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/stages")
+        )
+        return sorted(
+            (s for s in stages if s["stageId"] > prev_stage_max),
+            key=lambda s: s["stageId"],
+        )
+
+    terminal = ("COMPLETE", "FAILED", "SKIPPED")
+    for _ in range(20):  # ≤5 s; the job already returned, only the bus lags
+        window = _window()
+        if all(s.get("status") in terminal for s in window):
+            break
+        time.sleep(0.25)
     total = peak = 0
     max_id = prev_stage_max
-    for s in stages:
-        if s["stageId"] <= prev_stage_max:
-            continue
-        max_id = max(max_id, s["stageId"])
+    for s in window:
+        if s.get("status") not in terminal:
+            break  # still in flight: leave it (and everything after) for
+            # the next window — never skip a stage that may yet complete
+        max_id = s["stageId"]
         if s.get("status") != "COMPLETE":
             continue
         b = s.get("shuffleWriteBytes", 0)

@@ -838,12 +838,22 @@ def _register_pipeline_rag():
         — ~24 bytes/row — and chunk counting runs pre-dedup as narrow
         per-row work + a doc-keyed O(docs) partial-agg exchange
         (duplicates re-tokenize map-side, which at any realistic dup
-        rate is far cheaper than shipping text bytes through a shuffle);
-        the embedding attach is a 1:1 id join (bucketable); retrieval
-        broadcasts the query set so the corpus never shuffles (for real
-        query volumes, swap in the pruned `similarity_multiquery_topk`
-        path or an IVF candidate feed — same composition, different
-        last stage).
+        rate is far cheaper than shipping text bytes through a shuffle).
+        AND THE VECTORS NEVER SHUFFLE (r7 rewrite; r5 attached the wide
+        embedding column to the chunk counts BEFORE scoring, so the
+        doc-id join exchanged ~520-byte vector rows — the 200x peak
+        stage, 212 MB in SCALE_CHECK.json; the r6 verdict proposed a
+        bucketed-by-id layout to kill that exchange, but scoring FIRST
+        dominates bucketing: cosine is computed map-side on the
+        embeddings scan against the broadcast query set, so only
+        24-byte (qid, doc_id, cos) score rows ever enter the attach
+        exchange — no one-time clustered rewrite of the vectors, no
+        pinned bucket count, and a duplicate doc merely wastes 64
+        map-side FLOPs instead of shipping 520 bytes). Retrieval
+        broadcasts the query set so the corpus never shuffles (for
+        real query volumes, swap in the pruned
+        `similarity_multiquery_topk` path or an IVF candidate feed —
+        same composition, different last stage).
         """
         from pyspark.sql import Window
 
@@ -861,20 +871,18 @@ def _register_pipeline_rag():
         chunks = chunk_windows(toks).groupBy("doc_id").agg(
             F.count("*").alias("n_chunks")
         )
+        eligible = chunks.join(survivor_ids, "doc_id", "left_semi")
         emb = load_table(spark, sf_dir, "embeddings")
-        corpus = (
-            chunks.join(survivor_ids, "doc_id", "left_semi")
-            .join(emb, chunks.doc_id == emb.vec_id)
-            .select("doc_id", "n_chunks", "embedding")
-        )
         q = emb.where(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
         )
-        sims = corpus.crossJoin(F.broadcast(q)).select(
+        scores = emb.crossJoin(F.broadcast(q)).select(
             "qid",
-            "doc_id",
-            "n_chunks",
+            F.col("vec_id").alias("doc_id"),
             cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+        sims = scores.join(eligible, "doc_id").select(
+            "qid", "doc_id", "n_chunks", "cos"
         )
         w_rank = Window.partitionBy("qid").orderBy(F.desc("cos"), "doc_id")
         return (

@@ -331,6 +331,38 @@ def mix_rebalance_to_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pretrain_quality_docs(docs: DataFrame) -> DataFrame:
+    """Stage 1 of the pretrain composite: tokenized + content-hashed docs
+    with the narrow quality gate applied BEFORE any shuffle."""
+    return docs.select(
+        "doc_id",
+        "lang",
+        _toks().alias("toks"),
+        F.unhex(F.md5("text")).alias("text_md5"),
+    ).where(F.size("toks") >= 20)
+
+
+def pretrain_survivor_ids_plan(q: DataFrame) -> DataFrame:
+    """Stage 2, PRE-checkpoint: survivor = min doc_id per content hash,
+    carrying ITS OWN lang (min_by ≡ the old window's rn=1 row) — a
+    ~30-byte (hash, id, lang) projection exchange; token arrays never
+    enter it. Split out of the query body (ADVICE r6) because the query
+    ``localCheckpoint()``s this frame, which truncates lineage and hides
+    the sub-plan from the registry-wide enforcement sweeps — the tests
+    inspect THIS function's plan directly, so a future text/token-array
+    shuffle introduced upstream of the checkpoint stays visible to
+    test_text_never_shuffles / the shuffle-budget checks."""
+    return (
+        q.select("text_md5", "doc_id", "lang")
+        .groupBy("text_md5")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+        )
+        .select("doc_id", "lang")
+    )
+
+
 @register(
     "pipeline_pretrain_full",
     f"""
@@ -420,15 +452,8 @@ def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
-    t = docs.select(
-        "doc_id",
-        "lang",
-        _toks().alias("toks"),
-        F.unhex(F.md5("text")).alias("text_md5"),
-    )
-    q = t.where(F.size("toks") >= 20)
-    # survivor = min doc_id per content hash, carrying ITS OWN lang
-    # (min_by ≡ the old window's rn=1 row) — a ~30-byte/row exchange.
+    q = _pretrain_quality_docs(docs)
+    # survivor = min doc_id per content hash, carrying ITS OWN lang —
     # PERSISTED between stages via localCheckpoint (VERDICT r5 item 2):
     # the rates branch (computed through a broadcast exchange on a
     # concurrent driver thread) and the sampled-id semi-join both consume
@@ -438,17 +463,12 @@ def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (id, lang) rows, never token arrays, so the eager materialization
     # is cheap at every scale (at 100 TB a production pipeline persists
     # this table to reliable storage between stages anyway; local
-    # checkpoint is the single-job equivalent).
-    survivor_ids = (
-        q.select("text_md5", "doc_id", "lang")
-        .groupBy("text_md5")
-        .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.min_by("lang", "doc_id").alias("lang"),
-        )
-        .select("doc_id", "lang")
-        .localCheckpoint()
-    )
+    # checkpoint is the single-job equivalent). The PRE-checkpoint plan
+    # lives in `pretrain_survivor_ids_plan` so the registry-wide
+    # enforcement tests can still see it (ADVICE r6: localCheckpoint
+    # truncates lineage, which would otherwise hide this sub-plan from
+    # test_text_never_shuffles and the shuffle-budget checks).
+    survivor_ids = pretrain_survivor_ids_plan(q).localCheckpoint()
     # cached (O(langs)): min branch + rates branch share one aggregation
     counts = bounded_cache(
         survivor_ids.groupBy("lang").agg(F.count("*").alias("n"))

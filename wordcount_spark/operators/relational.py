@@ -75,13 +75,51 @@ def theta_grid(n_a: int, n_b: int, parallelism: int) -> tuple[int, int]:
     C = sqrt(n_b·P/n_a) columns (R·C ≈ P; for n_a = n_b this is the
     paper's square-root rule R = C = sqrt(P)). Blocks are clamped to the
     side's row count (an R > n_a row-block is empty) and to ≥ 1, so tiny
-    or empty inputs degrade to a single cell."""
+    or empty inputs degrade to a single cell. Clamping one axis
+    RE-BUDGETS the other (ADVICE r6): on extreme skew the raw rule gives
+    R < 1, and pinning R to 1 while keeping the raw C blows R·C far past
+    the parallelism (n_a=2, n_b=1e6, P=32 gave a 1×4000 grid — 4000
+    reducers each holding 1/4000th of B for no balance gain), so the
+    unclamped axis is shrunk until R·C stays O(P)."""
     import math
 
     n_a, n_b, parallelism = max(n_a, 1), max(n_b, 1), max(parallelism, 1)
-    r = round(math.sqrt(n_a * parallelism / n_b))
-    c = round(math.sqrt(n_b * parallelism / n_a))
-    return max(1, min(r, n_a)), max(1, min(c, n_b))
+    r = max(1, min(round(math.sqrt(n_a * parallelism / n_b)), n_a))
+    c = max(1, min(round(math.sqrt(n_b * parallelism / n_a)), n_b))
+    if r * c > 2 * parallelism:  # a clamp inflated the product
+        if r <= c:
+            c = max(1, math.ceil(parallelism / r))
+        else:
+            r = max(1, math.ceil(parallelism / c))
+    return r, c
+
+
+#: (session id, a.semanticHash, b.semanticHash, parallelism) -> (R, C).
+#: Auto-sizing runs two eager count() jobs at DataFrame BUILD time, so
+#: without this memo every PLAN-ONLY consumer (audit_plans,
+#: test_plan_smells, the registry-wide text-never-shuffles sweep — each
+#: builds every registered query) would execute real Spark jobs just to
+#: look at the theta join's plan (ADVICE r6). The measured grid is a pure
+#: function of the two input plans and the parallelism, so caching it is
+#: exact, and the counts run at most once per (session, inputs) — O(1)
+#: driver state, bounded by the handful of distinct theta joins a
+#: session builds.
+_GRID_MEMO: dict[tuple, tuple[int, int]] = {}
+
+
+def _measured_grid(a: DataFrame, b: DataFrame, parallelism: int) -> tuple[int, int]:
+    try:
+        key = (
+            id(a.sparkSession),
+            a.semanticHash(),
+            b.semanticHash(),
+            parallelism,
+        )
+    except Exception:  # analysis unavailable — size without memoizing
+        return theta_grid(a.count(), b.count(), parallelism)
+    if key not in _GRID_MEMO:
+        _GRID_MEMO[key] = theta_grid(a.count(), b.count(), parallelism)
+    return _GRID_MEMO[key]
 
 
 def theta_join_blocked(
@@ -114,7 +152,11 @@ def theta_join_blocked(
     jobs feed :func:`theta_grid`, which applies the paper's square-root
     rule against the session's default parallelism, so on a 1000-executor
     cluster the grid widens with the cluster and each task still holds
-    one block pair. Replication multiplies shuffle bytes by C (A side)
+    one block pair. The measured grid is MEMOIZED per (session, input
+    plans, parallelism) — ADVICE r6: plan-only consumers build this
+    DataFrame repeatedly and must not pay the count jobs each time (a
+    32-bit semanticHash collision can only mis-SIZE the grid, never
+    change results). Replication multiplies shuffle bytes by C (A side)
     and R (B side) — the documented price of a balanced theta join; for
     predicates with a usable band structure prefer
     `range_join_value_bands`/as-of, which prune instead of replicate.
@@ -137,7 +179,7 @@ def theta_join_blocked(
         )
     if r_blocks is None or c_blocks is None:
         par = a.sparkSession.sparkContext.defaultParallelism
-        r_auto, c_auto = theta_grid(a.count(), b.count(), par)
+        r_auto, c_auto = _measured_grid(a, b, par)
         r_blocks = r_auto if r_blocks is None else r_blocks
         c_blocks = c_auto if c_blocks is None else c_blocks
     taken = set(a.columns) | set(b.columns)

@@ -169,7 +169,10 @@ EVIDENCE_RESET: dict[str, int] = {
     # token arrays never shuffle (groupBy(md5).min ownership + semi-join
     # instead of a wide-row window) — same oracle, new plan, re-prove
     "pipeline_pretrain_full": 5,
-    "pipeline_rag_corpus": 5,
+    # r7: embedding attach re-ordered so vectors never shuffle (cosine
+    # scored map-side against the broadcast query set BEFORE the doc-id
+    # join) — same oracle, new plan, re-prove
+    "pipeline_rag_corpus": 7,
 }
 
 
