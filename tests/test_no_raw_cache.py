@@ -50,7 +50,19 @@ def test_pin_count_bounded_under_repeated_lsh_indexing(spark, sf_dir):
     from wordcount_spark.sources.readers import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    start_live = len(caching._pins)
+    # drain pins carried over from other test files so the loop below owns
+    # every FIFO slot it fills (eviction is always safe by design)
+    while caching._pins:
+        try:
+            caching._pins.popitem(last=False)[1].unpersist()
+        except Exception:
+            pass
+    # getPersistentRDDs also counts session-lingering localCheckpoint RDDs
+    # (pretrain survivor-ids, iterative-loop rounds) which are NOT pins and
+    # are never FIFO-evicted — so the JVM-side bound must be on GROWTH over
+    # this baseline, not an absolute cap (full-suite r7: one checkpoint RDD
+    # from an earlier test file pushed the absolute count to PIN_MAX + 1).
+    start_jvm = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     for i in range(caching.PIN_MAX + 8):
         # DISTINCT plan per iteration (ADVICE r6): identical re-pins
         # dedupe onto one slot and would never approach the cap — the
@@ -60,12 +72,13 @@ def test_pin_count_bounded_under_repeated_lsh_indexing(spark, sf_dir):
         idx = lsh_banded_index(sigs, bands=2, rows=4)
         idx.count()  # materialize so the pin actually holds blocks
     assert len(caching._pins) <= caching.PIN_MAX
-    # the JVM agrees: persistent RDD count is bounded too (<= PIN_MAX,
-    # modulo frames pinned by earlier tests in this session)
+    # the JVM agrees: the loop's PIN_MAX + 8 pins grew the block manager
+    # by at most PIN_MAX entries (FIFO eviction unpersisted the excess)
     jvm_live = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-    assert jvm_live <= caching.PIN_MAX, (
-        f"{jvm_live} RDDs pinned in the block manager (cap {caching.PIN_MAX}); "
-        f"pins at test start: {start_live}"
+    assert jvm_live - start_jvm <= caching.PIN_MAX, (
+        f"{jvm_live} RDDs pinned after {caching.PIN_MAX + 8} pins from a "
+        f"baseline of {start_jvm} (cap {caching.PIN_MAX}) — eviction is not "
+        "unpersisting JVM-side"
     )
 
 
