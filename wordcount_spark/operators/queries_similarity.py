@@ -1067,18 +1067,30 @@ def eval_rp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = _plane_signs(16, 64)
 
     def dot_sign(row: list[int]) -> Column:
-        pos = [
-            F.element_at("embedding", i + 1).cast("double")
-            for i, s in enumerate(row)
-            if s == 1
-        ]
-        neg = [
-            F.element_at("embedding", i + 1).cast("double")
-            for i, s in enumerate(row)
-            if s == -1
-        ]
-        pos_sum = sum(pos[1:], pos[0])
-        dot = pos_sum - sum(neg[1:], neg[0]) if neg else pos_sum
+        # zip_with + aggregate, NOT an unrolled element_at sum: 16 planes
+        # x 64 dims unrolled is ~1024 expressions in one projection, which
+        # blew whole-stage codegen's 64 KB method limit and silently
+        # dropped the ENTIRE scan->band->filter->agg stage to interpreted
+        # execution (the whole query measured 6.09 s at sf0.1, 2.43 s with
+        # the loop-shaped HOF form keeping the stage codegen'd — and the
+        # remaining cost is the brute-force truth side). Bit-exactness
+        # vs the oracle is preserved by keeping its pos-sum-then-neg-sum
+        # structure: skipped positions contribute a literal 0.0, and
+        # acc + 0.0 is float-identity (a signed-zero corner can't flip
+        # `dot > 0` - both zeros compare false).
+        slit = F.array(*[F.lit(s) for s in row])
+
+        def side(keep: int) -> Column:
+            terms = F.zip_with(
+                "embedding",
+                slit,
+                lambda x, s: F.when(s == F.lit(keep), x.cast("double")).otherwise(
+                    F.lit(0.0)
+                ),
+            )
+            return F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+
+        dot = side(1) - side(-1) if any(s == -1 for s in row) else side(1)
         return F.when(dot > 0, F.lit("1")).otherwise(F.lit("0"))
 
     band_cols = [
