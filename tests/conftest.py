@@ -17,7 +17,20 @@ _TABLES = "region nation customer supplier part orders lineitem events documents
 def spark():
     from wordcount_spark.session import get_spark
 
-    s = get_spark("wordcount_spark_tests", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    # codegen.fallback OFF (VERDICT r7 item 5): a whole-stage-codegen
+    # compile failure (e.g. an unrolled projection blowing janino's 64 KB
+    # method limit — found live in r7 on eval_rp_lsh_recall, where the
+    # silent drop to interpreted execution cost 2.5x and was invisible to
+    # every correctness check) is a hard error under the TEST session, so
+    # the full suite — including the registry-wide execution sweep in
+    # test_registry_contract — doubles as the strict-codegen guard that
+    # previously lived only in the manually-run tools/stability_check.py.
+    # The production session keeps the graceful fallback.
+    s = get_spark(
+        "wordcount_spark_tests",
+        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")),
+        extra_conf={"spark.sql.codegen.fallback": "false"},
+    )
     yield s
     s.stop()
 
