@@ -124,6 +124,23 @@ def _unpartitioned_windows(plan: str) -> list[str]:
     return hits
 
 
+def _signature_baseline() -> dict:
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PLAN_SIGNATURES.json",
+    )
+    try:
+        return json.load(open(path))
+    except (OSError, ValueError):
+        return {"round": 0, "signatures": {}}
+
+
+_BASELINE = _signature_baseline()
+
+
 def test_no_plan_smells(spark, plan_query):
     df = _registry()[plan_query](spark, "/root/testdata/sf0.001")
     plan = formatted_plan(df)
@@ -138,6 +155,32 @@ def test_no_plan_smells(spark, plan_query):
             f"{plan_query} plans {len(bad)} unpartitioned window(s) "
             f"(single-task funnel): {bad}"
         )
+    # EVIDENCE_RESET mechanization (VERDICT r7 item 7): a plan-shape change
+    # on a driver-proven query must be ACKNOWLEDGED — either an
+    # EVIDENCE_RESET entry newer than the committed signature baseline, or
+    # driver evidence newer than the baseline — before it can merge. The
+    # r7 pipeline_rag_corpus rewrite (score-first: shuffles/broadcasts
+    # moved) would have tripped exactly this.
+    base = _BASELINE["signatures"].get(plan_query)
+    if base is not None:
+        from tools.gen_plan_signatures import plan_signature
+        from wordcount_spark.registry import EVIDENCE_RESET, driver_checked_rounds
+
+        sig = plan_signature(plan)
+        if sig != base:
+            rnd = _BASELINE["round"]
+            acknowledged = (
+                EVIDENCE_RESET.get(plan_query, 0) > rnd
+                or driver_checked_rounds().get(plan_query, 0) > rnd
+            )
+            assert acknowledged, (
+                f"{plan_query}: plan signature drifted from the committed "
+                f"round-{rnd} baseline ({base} -> {sig}) without an "
+                "EVIDENCE_RESET entry or fresh driver evidence — add the "
+                "query to registry.EVIDENCE_RESET (the driver must re-prove "
+                "a changed plan) and regenerate PLAN_SIGNATURES.json via "
+                "tools/gen_plan_signatures.py"
+            )
 
 
 def test_topk_windows_plan_partial_group_limits(spark, sf_dir):
