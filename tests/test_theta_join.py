@@ -124,7 +124,9 @@ def test_measured_grid_memoized_per_plan(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(
         relational, "theta_grid", lambda *a: (calls.append(a), real(*a))[1]
     )
-    relational._GRID_MEMO.clear()
+    # the memo lives ON the session (VERDICT r7 note 2: a module-global
+    # keyed on id(session) could collide after id reuse and never evicted)
+    getattr(spark, relational._GRID_MEMO_ATTR, {}).clear()
 
     def build():  # fresh lineage each time — same semantics
         sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")

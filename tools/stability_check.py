@@ -82,8 +82,11 @@ def main() -> int:
     # layout-dependence has the best chance to surface
     a = run_all(names, 7, 7)
     b = run_all(names, 32, 32, strict_codegen=True)
-    bad = [n for n in names if a[n] != b[n]]
     errs = [n for n in names if str(a[n]).startswith("ERR") or str(b[n]).startswith("ERR")]
+    # an ERR (e.g. a strict-codegen compile failure in session b only) is a
+    # codegen failure, not layout-dependence — don't double-count it as
+    # UNSTABLE just because the two sessions' strings differ (ADVICE r7)
+    bad = [n for n in names if a[n] != b[n] and n not in errs]
     for n in bad:
         print(f"UNSTABLE {n}: {a[n]} vs {b[n]}")
     for n in errs:
