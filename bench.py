@@ -253,26 +253,41 @@ def main() -> None:
     # bench_compare refuses it. Three attempts, not two: r7's official
     # line went out noisy after both of its passes straddled distinct
     # steal windows ~2 minutes apart — a third try costs ~2 min and is
-    # cheap insurance against exactly that cadence.
+    # cheap insurance against exactly that cadence. A pass also retries
+    # when any PER-QUERY load stamp exceeded the gate (r8: a neighbor
+    # that arrives after the pre-run gate and leaves before the post-run
+    # probe inflated a pass to 18.99 s that BOTH run-level gates called
+    # quiet; the per-query stamps read 5–9 throughout — calibration in
+    # tools/bench_floor.py: calm passes stamp 1.2–2.1, burst-straddling
+    # passes 5+, so the stamps see exactly the bursts the probes miss).
     attempts: list[dict] = []
     for _attempt in range(3):
         timings, query_load, calib_pre, calib_post = headline_pass()
         drift = max(calib_pre, calib_post) / max(min(calib_pre, calib_post), 1e-9)
+        max_load = max(query_load.values()) if query_load else 0.0
         attempts.append({
             "queries": timings,
             "query_load_1m": query_load,
+            "max_query_load_1m": round(max_load, 2),
             "cpu_calib_pre_sec": round(calib_pre, 4),
             "cpu_calib_post_sec": round(calib_post, 4),
             "calib_drift": round(drift, 3),
         })
-        if drift <= CALIB_DRIFT_NOISY:
+        if drift <= CALIB_DRIFT_NOISY and max_load <= NOISE_LOAD_1M:
             break
         print(
             f"bench: calib drift {drift:.2f} ({calib_pre:.3f}s -> "
-            f"{calib_post:.3f}s), retrying headline pass",
+            f"{calib_post:.3f}s), max per-query load {max_load:.2f}, "
+            "retrying headline pass",
             file=sys.stderr,
         )
-    best_attempt = min(attempts, key=lambda a: a["calib_drift"])
+    best_attempt = min(
+        attempts,
+        key=lambda a: (
+            a["max_query_load_1m"] > NOISE_LOAD_1M,  # prefer burst-free passes
+            a["calib_drift"],
+        ),
+    )
     timings = best_attempt["queries"]
     query_load = best_attempt["query_load_1m"]
     calib_pre = best_attempt["cpu_calib_pre_sec"]
@@ -288,6 +303,7 @@ def main() -> None:
         "host_load_avg_1m_prerun": round(prerun_load, 2),
         "noisy": (
             prerun_load > NOISE_LOAD_1M
+            or best_attempt["max_query_load_1m"] > NOISE_LOAD_1M
             or max(calib_pre, calib_post)
             > CALIB_DRIFT_NOISY * min(calib_pre, calib_post)
         ),
@@ -385,9 +401,24 @@ def main() -> None:
 
             # a 0.4 s job under external load is noise-dominated: best-of-8
             # (cheap at this size) + the phase's own load stamp, so the
-            # judged vs-baseline ratio can be read against contention
-            detail["reference_corpus_load_1m"] = round(os.getloadavg()[0], 2)
-            best = timed(lambda: wc_df(paths), n=8)
+            # judged vs-baseline ratio can be read against contention.
+            # The phase RETRIES (up to 3x) while its load stamp exceeds
+            # the gate — throughput is the one headline metric where a
+            # burst-crushed sample (observed 9–26 MB/s vs ~39 calm) would
+            # otherwise ride a quiet-flagged line straight into the
+            # vs-baseline comparison.
+            def timed_stamped(df_fn, n):
+                tries = []
+                for _ in range(3):
+                    stamp = round(os.getloadavg()[0], 2)
+                    tries.append((stamp, timed(df_fn, n=n)))
+                    if stamp <= NOISE_LOAD_1M:
+                        break
+                quiet = [(s, t) for s, t in tries if s <= NOISE_LOAD_1M]
+                return min(quiet or tries, key=lambda st: st[1])
+
+            stamp, best = timed_stamped(lambda: wc_df(paths), n=8)
+            detail["reference_corpus_load_1m"] = stamp
             out["reference_corpus_mb_per_sec"] = round(nbytes / 1e6 / best, 2)
             # Committed stage breakdown (VERDICT r1 task 5): how much of
             # the single-stream time is fixed per-job cost that vanishes
@@ -417,7 +448,8 @@ def main() -> None:
                 128 * 1024 * 1024,
             )
             spark.conf.set("spark.sql.files.maxPartitionBytes", str(split8))
-            best8 = timed(lambda: wc_df(paths8))
+            stamp8, best8 = timed_stamped(lambda: wc_df(paths8), n=4)
+            detail["reference_corpus_8x_load_1m"] = stamp8
             out["reference_corpus_8x_mb_per_sec"] = round(nbytes8 / 1e6 / best8, 2)
             detail["reference_corpus_8x_distinct_bytes"] = nbytes8
         finally:
