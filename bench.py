@@ -407,17 +407,35 @@ def main() -> None:
             # burst-crushed sample (observed 9–26 MB/s vs ~39 calm) would
             # otherwise ride a quiet-flagged line straight into the
             # vs-baseline comparison.
-            def timed_stamped(df_fn, n):
+            # post-window stamps are RECORDED but do not gate: the corpus
+            # job itself keeps up to 32 threads runnable for seconds, so a
+            # post-stamp conflates self-load with the external bursts the
+            # pre-stamp misses (ADVICE r8 low). They accumulate here as
+            # calibration — once quiet-run post-stamps bound the self-load
+            # contribution, a separating threshold can be promoted to a gate.
+            post_stamps: dict[str, float] = {}
+            detail["reference_corpus_post_load_1m"] = post_stamps
+
+            def timed_stamped(df_fn, n, tag):
                 tries = []
-                for _ in range(3):
+                for attempt in range(3):
+                    if attempt:
+                        # let the lagging 1-min average decay before
+                        # re-stamping — back-to-back retries read the SAME
+                        # loud value during the multi-minute bursts this box
+                        # actually sees, making the retry a no-op (ADVICE r8)
+                        _wait_for_quiet(max_wait=120)
                     stamp = round(os.getloadavg()[0], 2)
                     tries.append((stamp, timed(df_fn, n=n)))
+                    post_stamps[f"{tag}_try{attempt}"] = round(
+                        os.getloadavg()[0], 2
+                    )
                     if stamp <= NOISE_LOAD_1M:
                         break
                 quiet = [(s, t) for s, t in tries if s <= NOISE_LOAD_1M]
                 return min(quiet or tries, key=lambda st: st[1])
 
-            stamp, best = timed_stamped(lambda: wc_df(paths), n=8)
+            stamp, best = timed_stamped(lambda: wc_df(paths), n=8, tag="corpus")
             detail["reference_corpus_load_1m"] = stamp
             out["reference_corpus_mb_per_sec"] = round(nbytes / 1e6 / best, 2)
             # Committed stage breakdown (VERDICT r1 task 5): how much of
@@ -448,10 +466,22 @@ def main() -> None:
                 128 * 1024 * 1024,
             )
             spark.conf.set("spark.sql.files.maxPartitionBytes", str(split8))
-            stamp8, best8 = timed_stamped(lambda: wc_df(paths8), n=4)
+            stamp8, best8 = timed_stamped(
+                lambda: wc_df(paths8), n=4, tag="corpus8x"
+            )
             detail["reference_corpus_8x_load_1m"] = stamp8
             out["reference_corpus_8x_mb_per_sec"] = round(nbytes8 / 1e6 / best8, 2)
             detail["reference_corpus_8x_distinct_bytes"] = nbytes8
+            # the corpus phase runs AFTER out["noisy"] was computed from the
+            # headline gates; if every timed_stamped retry stayed loud, the
+            # surviving MB/s is burst-deflated and must not ride a
+            # quiet-flagged line into the vs-baseline comparison (ADVICE r8
+            # medium: the retry only mitigates, this flag closes it)
+            out["noisy"] = bool(
+                out["noisy"]
+                or stamp > NOISE_LOAD_1M
+                or stamp8 > NOISE_LOAD_1M
+            )
         finally:
             for k, v in saved.items():
                 spark.conf.set(k, v)

@@ -89,6 +89,8 @@ def _registry():
 def pytest_generate_tests(metafunc):
     if "plan_query" in metafunc.fixturenames:
         metafunc.parametrize("plan_query", sorted(set(_registry()) - SKIP))
+    if "eager_query" in metafunc.fixturenames:
+        metafunc.parametrize("eager_query", sorted(set(_registry()) & SKIP))
 
 
 # queries allowed to run a window with NO partition spec (every window
@@ -164,22 +166,76 @@ def test_no_plan_smells(spark, plan_query):
     base = _BASELINE["signatures"].get(plan_query)
     if base is not None:
         from tools.gen_plan_signatures import plan_signature
-        from wordcount_spark.registry import EVIDENCE_RESET, driver_checked_rounds
 
         sig = plan_signature(plan)
         if sig != base:
             rnd = _BASELINE["round"]
-            acknowledged = (
-                EVIDENCE_RESET.get(plan_query, 0) > rnd
-                or driver_checked_rounds().get(plan_query, 0) > rnd
-            )
-            assert acknowledged, (
+            assert _acknowledged(plan_query, rnd), (
                 f"{plan_query}: plan signature drifted from the committed "
                 f"round-{rnd} baseline ({base} -> {sig}) without an "
                 "EVIDENCE_RESET entry or fresh driver evidence — add the "
                 "query to registry.EVIDENCE_RESET (the driver must re-prove "
                 "a changed plan) and regenerate PLAN_SIGNATURES.json via "
                 "tools/gen_plan_signatures.py"
+            )
+
+
+def _acknowledged(name: str, baseline_round: int) -> bool:
+    from wordcount_spark.registry import EVIDENCE_RESET, driver_checked_rounds
+
+    return (
+        EVIDENCE_RESET.get(name, 0) > baseline_round
+        or driver_checked_rounds().get(name, 0) > baseline_round
+    )
+
+
+def test_signature_baseline_covers_whole_registry():
+    """ADVICE r8: a query registered AFTER the committed freeze was
+    silently skipped by the drift gate (`if base is not None`), so its
+    plan was never baselined until someone remembered to rerun
+    gen_plan_signatures. Registering a query now FORCES the deliberate
+    refreeze: every lazy query needs a `signatures` entry, every eager
+    query an `eager_signatures` entry."""
+    names = set(_registry())
+    missing_lazy = sorted(
+        (names - SKIP) - set(_BASELINE.get("signatures", {}))
+    )
+    missing_eager = sorted(
+        (names & SKIP) - set(_BASELINE.get("eager_signatures", {}))
+    )
+    assert not missing_lazy and not missing_eager, (
+        f"queries missing from PLAN_SIGNATURES.json (lazy={missing_lazy}, "
+        f"eager={missing_eager}) — run tools/gen_plan_signatures.py "
+        "<round> to baseline them deliberately"
+    )
+
+
+def test_eager_query_final_frame_signature(spark, eager_query):
+    """Eager queries (streaming replays, iterative loops, format
+    round-trips) execute their work at build time, so the full pipeline
+    can't be signed lazily — but the RETURNED frame's plan is stable at
+    fixed sf and pins the final stage (VERDICT r8 item 3: eager plans
+    could previously drift with only PLANS.md regeneration to show it).
+    Executing here is the cost of the audit; it also closes the smell
+    gap — the returned frame must not plan a cartesian product either."""
+    df = _registry()[eager_query](spark, "/root/testdata/sf0.001")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, (
+        f"{eager_query} returns a frame planning a cartesian product"
+    )
+    base = _BASELINE.get("eager_signatures", {}).get(eager_query)
+    if base is not None:
+        from tools.gen_plan_signatures import plan_signature
+
+        sig = plan_signature(plan)
+        if sig != base:
+            rnd = _BASELINE["round"]
+            assert _acknowledged(eager_query, rnd), (
+                f"{eager_query}: final-frame signature drifted from the "
+                f"committed round-{rnd} baseline ({base} -> {sig}) without "
+                "an EVIDENCE_RESET entry or fresh driver evidence — add "
+                "the query to registry.EVIDENCE_RESET and regenerate "
+                "PLAN_SIGNATURES.json via tools/gen_plan_signatures.py"
             )
 
 

@@ -99,6 +99,77 @@ def test_driver_checked_reads_committed_rounds():
     assert len(seen) >= 77
 
 
+def test_evidence_freshness_floor():
+    """The staleness rotation must actually keep evidence fresh (VERDICT r8
+    item 5): nothing previously FAILED if the oldest-evidence-first queue
+    stalled (e.g. a refactor breaking _ordered). Every registered query's
+    newest driver evidence must be within 6 rounds of the newest committed
+    round — the queue drains ~45 slots/round over a 265-query registry, so
+    a healthy rotation keeps the lag <= ceil(265/45) + 1 = 7 windows; 6 is
+    the committed r8 state (min r3 vs round 8, headroom 1) made a red line."""
+    import glob
+    import json
+    import os
+    import re
+
+    from wordcount_spark.registry import driver_checked_rounds
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    committed = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", os.path.basename(p)))
+        and isinstance(json.load(open(p)), dict)
+    ]
+    assert committed, "no committed CORRECTNESS artifacts found"
+    current = max(committed)
+    queries, _ = _registry()
+    rounds = driver_checked_rounds()
+    stale = {
+        n: rounds.get(n, 0) for n in queries if rounds.get(n, 0) < current - 6
+    }
+    assert not stale, (
+        f"evidence decay: {len(stale)} queries' newest driver evidence is "
+        f"more than 6 rounds behind round {current}: {stale}"
+    )
+
+
+def test_no_oracle_rows_count_as_rows_only_evidence(tmp_path, monkeypatch):
+    """The driver stamps oracle-less queries err='no_oracle' with a
+    spark_rows count — that IS its weaker rows-only check, and must count
+    as rows-only evidence (r8: treating it as none made the 4 rows-only
+    queries permanently unseen, pinning 4 of the 50 window slots every
+    round). It must NOT satisfy an oracle-backed query, and a no_oracle
+    row whose run died (spark_rows null) must not count at all."""
+    import json
+
+    from wordcount_spark import registry
+
+    registry._load_all()
+    oracle_backed = next(iter(registry.ORACLES))
+    rows = {
+        "rows_only_q": {"rows_match": None, "schema_match": None,
+                        "hash_match": None, "spark_rows": 7,
+                        "oracle_rows": None, "err": "no_oracle"},
+        "dead_rows_only_q": {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": None,
+                             "oracle_rows": None, "err": "no_oracle"},
+        oracle_backed: {"rows_match": None, "schema_match": None,
+                        "hash_match": None, "spark_rows": 7,
+                        "oracle_rows": None, "err": "no_oracle"},
+    }
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(rows))
+    import glob as glob_mod
+
+    monkeypatch.setattr(
+        glob_mod, "glob", lambda pat: [str(tmp_path / "CORRECTNESS_r99.json")]
+    )
+    seen = registry.driver_checked()
+    assert "rows_only_q" in seen
+    assert "dead_rows_only_q" not in seen
+    assert oracle_backed not in seen
+
+
 def test_failed_driver_rows_do_not_count_as_checked(tmp_path, monkeypatch):
     """A red CORRECTNESS row must leave the query in the unseen class so
     it re-enters the next graded window until the driver sees it pass."""

@@ -153,6 +153,14 @@ def main() -> None:
         r = _one_run(i)
         if not r:
             continue
+        if r.get("sf") is None:
+            # a fresh run whose parsed line lacks sf must neither anchor the
+            # artifact's sf nor bypass the mixing guard (ADVICE r8)
+            print(
+                f"run {i}: parsed line carries no sf — REFUSING to merge",
+                file=sys.stderr,
+            )
+            continue
         if sf is None:
             sf = r.get("sf")
         elif r.get("sf") != sf:
@@ -173,7 +181,11 @@ def main() -> None:
             {
                 "value": r.get("value"),
                 "noisy": r.get("noisy"),
-                "sf": r.get("sf", sf),
+                # legacy prior-merge records that never carried sf stay null
+                # in the provenance — only the top-level sf asserts the
+                # single-scale assumption, per-run sf records what was
+                # actually measured (ADVICE r8)
+                "sf": r.get("sf"),
                 "host_load_avg_1m_prerun": r.get("host_load_avg_1m_prerun"),
                 "queries": r.get("queries"),
                 "query_load_1m": r.get("query_load_1m"),

@@ -63,11 +63,34 @@ def main() -> None:
         for name, fn in sorted(queries.items())
         if name not in EAGER_QUERIES
     }
-    out = {"round": rnd, "sf_dir": SF_DIR, "signatures": sigs}
+    # Eager queries (streaming replays, iterative loops, format
+    # round-trips) EXECUTE inside the callable, so their work's plan shape
+    # can't be introspected lazily — but the RETURNED frame's plan is
+    # stable across sessions at fixed sf and pins the final stage (a
+    # memory-sink scan staying a memory-sink scan, a round-trip read
+    # keeping its pushdown). Signing it closes the r8 gap where an eager
+    # query's shape could drift with only PLANS.md regeneration to show it
+    # (VERDICT r8 item 3). Coarser than a lazy signature — upstream
+    # stages already ran — which is exactly why they live in a separate
+    # map the test reports distinctly.
+    eager_sigs = {
+        name: plan_signature(formatted_plan(queries[name](spark, SF_DIR)))
+        for name in sorted(EAGER_QUERIES)
+        if name in queries
+    }
+    out = {
+        "round": rnd,
+        "sf_dir": SF_DIR,
+        "signatures": sigs,
+        "eager_signatures": eager_sigs,
+    }
     path = os.path.join(_REPO_ROOT, "PLAN_SIGNATURES.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
-    print(f"wrote {path} ({len(sigs)} signatures, round {rnd})")
+    print(
+        f"wrote {path} ({len(sigs)} lazy + {len(eager_sigs)} eager "
+        f"signatures, round {rnd})"
+    )
     spark.stop()
 
 

@@ -131,10 +131,24 @@ def driver_checked_rounds() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if not isinstance(row, dict) or row.get("err"):
+            if not isinstance(row, dict):
                 continue
             if rnd < EVIDENCE_RESET.get(name, 0):
                 continue  # evidence predates a semantic change — stale
+            err = row.get("err")
+            if err == "no_oracle":
+                # the driver's WEAKER check for oracle-less queries: it ran
+                # the query and recorded a row count without a Spark error.
+                # That is the entirety of the rows-only evidence class, so
+                # it counts as such (r8 verdict: treating it as NO evidence
+                # made the 4 rows-only queries permanently "unseen", pinning
+                # 4 of the 50 graded window slots every round and starving
+                # the staleness drain by exactly that many slots).
+                if row.get("spark_rows") is not None:
+                    rows_rounds[name] = max(rows_rounds.get(name, 0), rnd)
+                continue
+            if err:
+                continue
             if row.get("hash_match"):
                 hash_rounds[name] = max(hash_rounds.get(name, 0), rnd)
             elif row.get("hash_match") is None and row.get("rows_match"):
