@@ -301,13 +301,22 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "host_load_avg_1m_prerun": round(prerun_load, 2),
-        "noisy": (
+        # component validity flags: the HEADLINE flag covers the per-query
+        # timings, the CORPUS flag (set below) covers the MB/s pair. They
+        # stay separate because their consumers differ — tools/bench_floor
+        # gates per-query quiet samples on the headline flag and throughput
+        # samples on the corpus flag; a burst that hits only the corpus
+        # phase must not discard an entire run's clean per-query samples
+        # from the quiet floor (observed r9: OR-ing everything into one
+        # flag zeroed n_quiet across 5 runs whose headline passes differed)
+        "noisy_headline": (
             prerun_load > NOISE_LOAD_1M
             or best_attempt["max_query_load_1m"] > NOISE_LOAD_1M
             or max(calib_pre, calib_post)
             > CALIB_DRIFT_NOISY * min(calib_pre, calib_post)
         ),
     }
+    out["noisy"] = out["noisy_headline"]
     # Everything that is diagnostic-only goes to the SIDECAR, never the
     # stdout line: the driver captures only the last ~2000 bytes of
     # stdout and parses the final line as JSON, and in round 4 the line
@@ -472,16 +481,15 @@ def main() -> None:
             detail["reference_corpus_8x_load_1m"] = stamp8
             out["reference_corpus_8x_mb_per_sec"] = round(nbytes8 / 1e6 / best8, 2)
             detail["reference_corpus_8x_distinct_bytes"] = nbytes8
-            # the corpus phase runs AFTER out["noisy"] was computed from the
-            # headline gates; if every timed_stamped retry stayed loud, the
-            # surviving MB/s is burst-deflated and must not ride a
-            # quiet-flagged line into the vs-baseline comparison (ADVICE r8
-            # medium: the retry only mitigates, this flag closes it)
-            out["noisy"] = bool(
-                out["noisy"]
-                or stamp > NOISE_LOAD_1M
-                or stamp8 > NOISE_LOAD_1M
+            # the corpus phase runs AFTER the headline gates computed their
+            # flag; if every timed_stamped retry stayed loud, the surviving
+            # MB/s is burst-deflated and must not ride a quiet-flagged line
+            # into the vs-baseline comparison (ADVICE r8 medium: the retry
+            # only mitigates, this flag closes it)
+            out["noisy_corpus"] = bool(
+                stamp > NOISE_LOAD_1M or stamp8 > NOISE_LOAD_1M
             )
+            out["noisy"] = bool(out["noisy"] or out["noisy_corpus"])
         finally:
             for k, v in saved.items():
                 spark.conf.set(k, v)
