@@ -583,8 +583,35 @@ def main() -> None:
             doc = json.load(open(out))
         except (OSError, ValueError):
             doc = {}
+        # per-pipeline quietest-wins merge (r9, same philosophy as
+        # tools/bench_floor.py): on a box with hour-scale burst cycles a
+        # single sweep rarely lands all-quiet, so repeated invocations
+        # TIGHTEN the artifact instead of letting a stormy sweep
+        # overwrite a calm one. A prior entry is kept when it is quieter
+        # (noisy flag, then the max kept-sample load). Only merges when
+        # the prior sweep used the same base_rows/multiplier; stamp-less
+        # legacy entries always lose to stamped ones.
+        prior = (
+            doc.get("pipelines", {})
+            if doc.get("base_rows") == BASE_ROWS and doc.get("multiplier") == mult
+            else {}
+        )
+
+        def quietness(rec: dict) -> tuple:
+            loads = rec.get("load_1m_per_measurement")
+            if loads is None:
+                return (True, float("inf"))
+            return (bool(rec.get("noisy")), max(loads.values()))
+
+        merged = {}
+        for name, rec in results.items():
+            old = prior.get(name)
+            merged[name] = (
+                old if old is not None and quietness(old) < quietness(rec)
+                else rec
+            )
         doc.update(
-            {"base_rows": BASE_ROWS, "multiplier": mult, "pipelines": results}
+            {"base_rows": BASE_ROWS, "multiplier": mult, "pipelines": merged}
         )
         with open(out, "w") as f:
             json.dump(doc, f, indent=2)
