@@ -93,6 +93,30 @@ def test_quiet_floor_falls_back_to_all_when_no_quiet_sample(tmp_path, monkeypatc
     assert out["caveat"].startswith("no run passed")
 
 
+def test_caveat_keys_on_component_flags(tmp_path, monkeypatch):
+    """ADVICE r9 low: a run set whose only noise was in the corpus phase
+    must NOT stamp the headline-floor caveat — the per-query floors were
+    headline-quiet-certified; the corpus side gets its own caveat keyed
+    on n_quiet_corpus (and vice versa: headline-loud runs with a quiet
+    corpus phase caveat only the timing floors)."""
+    corpus_loud = _run(1.0, True, queries={"a": 0.5}, loads={"a": 1.2},
+                       mbs=38.0, corpus_load=9.0)
+    corpus_loud["noisy_headline"] = False
+    corpus_loud["noisy_corpus"] = True
+    out = _invoke(tmp_path, monkeypatch, 99, 1, [corpus_loud])
+    assert out["n_quiet_headline"] == 1 and out["n_quiet_corpus"] == 0
+    assert "caveat" not in out, "headline caveat misattributed corpus noise"
+    assert out["caveat_corpus"].startswith("no run's corpus phase")
+
+    head_loud = _run(2.0, True, queries={"a": 2.0}, loads={"a": 9.0},
+                     mbs=40.0, corpus_load=1.5)
+    head_loud["noisy_headline"] = True
+    head_loud["noisy_corpus"] = False
+    out = _invoke(tmp_path, monkeypatch, 98, 1, [head_loud])
+    assert out["caveat"].startswith("no run passed the headline")
+    assert "caveat_corpus" not in out
+
+
 def test_throughput_floor_is_max_over_all_runs(tmp_path, monkeypatch):
     """Contention only DEFLATES MB/s, so every sample — however loud its
     window — is a valid lower bound on the true calm throughput and the

@@ -125,13 +125,47 @@ def test_evidence_freshness_floor():
     current = max(committed)
     queries, _ = _registry()
     rounds = driver_checked_rounds()
+    # queries ABSENT from driver_checked_rounds() are exempt (ADVICE r9
+    # medium): a newly registered query, or one freshly added to
+    # EVIDENCE_RESET, has no countable evidence yet and would otherwise
+    # fail the suite immediately with no local remediation — driver
+    # evidence only arrives via the NEXT external round's committed
+    # CORRECTNESS file. The unseen class is governed instead by the
+    # rotation-window tests above, which force such queries into the very
+    # next graded window.
     stale = {
-        n: rounds.get(n, 0) for n in queries if rounds.get(n, 0) < current - 6
+        n: rounds[n] for n in queries if n in rounds and rounds[n] < current - 6
     }
     assert not stale, (
         f"evidence decay: {len(stale)} queries' newest driver evidence is "
         f"more than 6 rounds behind round {current}: {stale}"
     )
+
+
+def test_freshness_floor_exempts_unseen_queries():
+    """Pin the ADVICE r9 exemption: registering a brand-new query (hence
+    absent from every committed CORRECTNESS round) must not trip the
+    freshness floor — it has no evidence to be stale; the rotation tests
+    guarantee it enters the next window instead."""
+    from wordcount_spark import registry
+
+    dummy = "zz_freshness_probe"
+    assert dummy not in registry.QUERIES
+    registry.QUERIES[dummy] = lambda spark, sf_dir: None
+    registry.ORACLES[dummy] = "SELECT 1 AS x"
+    try:
+        rounds = registry.driver_checked_rounds()
+        assert dummy not in rounds  # no committed evidence at all
+        # the freshness filter must therefore skip it, not score it as 0
+        stale = {
+            n: rounds[n]
+            for n in registry.get_queries()
+            if n in rounds and rounds[n] < 10_000
+        }
+        assert dummy not in stale
+    finally:
+        del registry.QUERIES[dummy]
+        del registry.ORACLES[dummy]
 
 
 def test_no_oracle_rows_count_as_rows_only_evidence(tmp_path, monkeypatch):

@@ -105,9 +105,16 @@ def _one_run(idx: int) -> dict | None:
     for key in ("reference_corpus_mb_per_sec", "reference_corpus_8x_mb_per_sec"):
         if key not in parsed and key in detail:
             parsed[key] = detail[key]
-    parsed["query_load_1m"] = (detail.get("detail") or {}).get("query_load_1m")
-    parsed["reference_corpus_load_1m"] = (detail.get("detail") or {}).get(
-        "reference_corpus_load_1m"
+    det = detail.get("detail") or {}
+    parsed["query_load_1m"] = det.get("query_load_1m")
+    parsed["reference_corpus_load_1m"] = det.get("reference_corpus_load_1m")
+    parsed["reference_corpus_8x_load_1m"] = det.get("reference_corpus_8x_load_1m")
+    # post-window stamps accumulate across merged runs (VERDICT r9 item 3):
+    # the sidecar is overwritten per run, so the floor artifact is the
+    # durable store for the self-load calibration samples that will back
+    # the post-stamp gate once >=10 quiet-window samples exist
+    parsed["reference_corpus_post_load_1m"] = det.get(
+        "reference_corpus_post_load_1m"
     )
     print(
         f"run {idx}: total={parsed.get('value')}s noisy={parsed.get('noisy')}"
@@ -219,6 +226,12 @@ def main() -> None:
                     "reference_corpus_8x_mb_per_sec"
                 ),
                 "reference_corpus_load_1m": r.get("reference_corpus_load_1m"),
+                "reference_corpus_8x_load_1m": r.get(
+                    "reference_corpus_8x_load_1m"
+                ),
+                "reference_corpus_post_load_1m": r.get(
+                    "reference_corpus_post_load_1m"
+                ),
             }
             for r in runs
         ],
@@ -263,9 +276,19 @@ def main() -> None:
                 out[f"floor_{key}"] = max(vals_all)
                 out[f"n_runs_{key}"] = len(vals_all)
                 out[f"n_quiet_{key}"] = len(vals_quiet)
-        if not out["n_quiet"]:
+        # caveats key on the COMPONENT flags (ADVICE r9 low): the monolithic
+        # n_quiet zeroes when only the corpus phase was loud, misattributing
+        # a corpus-side burst to per-query floors certified headline-quiet —
+        # the exact failure the r9 component-flag split was built to fix
+        if not out["n_quiet_headline"]:
             out["caveat"] = (
-                "no run passed the quiet gates — floor is an upper bound"
+                "no run passed the headline quiet gates — per-query floors "
+                "are upper bounds"
+            )
+        if not out["n_quiet_corpus"]:
+            out["caveat_corpus"] = (
+                "no run's corpus phase was quiet — throughput maxima remain "
+                "valid lower bounds but likely sit below the calm value"
             )
     else:
         out["error"] = "no run produced a parseable headline line"

@@ -25,6 +25,33 @@ BASE_ROWS = 5_000
 PARTITIONS = 32
 
 
+def code_fingerprint() -> str:
+    """16-hex-char sha256 over this file plus every wordcount_spark/*.py —
+    the staleness scope for the quietest-wins merge (ADVICE r9 medium:
+    pipeline entries carried no round/fingerprint, so a quiet measurement
+    taken BEFORE a code/plan change was kept over every later sweep
+    indefinitely, silently reporting pre-change growth ratios as current).
+    Any package or harness edit changes the fingerprint; mismatched
+    entries always lose the merge (fall back to overwrite), so a calm
+    pre-change sweep can never mask a post-change scaling regression.
+    Deliberately coarse — invalidating quiet history on an unrelated edit
+    costs only a re-run, while a per-pipeline scope that missed a shared
+    operator change would keep exactly the stale entry that matters."""
+    import hashlib
+
+    h = hashlib.sha256()
+    paths = [os.path.abspath(__file__)]
+    for root, _dirs, files in os.walk(os.path.join(_REPO_ROOT, "wordcount_spark")):
+        for f in files:
+            if f.endswith(".py"):
+                paths.append(os.path.join(root, f))
+    for p in sorted(paths):
+        h.update(os.path.relpath(p, _REPO_ROOT).encode())
+        with open(p, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:16]
+
+
 def synth(spark, n_rows: int):
     """(doc_id, text, lang, source, n_chars) rows generated in-executor."""
     return (
@@ -413,6 +440,32 @@ def pipelines():
     }
 
 
+def merge_sweep(prior: dict, results: dict, fp: str) -> dict:
+    """Quietest-wins merge of a fresh full sweep against the committed
+    pipelines, scoped to one code fingerprint: a prior entry survives only
+    if it carries the CURRENT fingerprint and is quieter (noisy flag, then
+    max kept-sample load). Pure so the staleness scoping is pinned by
+    tests/test_scale_check_merge.py without a Spark session."""
+
+    def quietness(rec: dict) -> tuple:
+        loads = rec.get("load_1m_per_measurement")
+        if loads is None:
+            return (True, float("inf"))
+        return (bool(rec.get("noisy")), max(loads.values()))
+
+    merged = {}
+    for name, rec in results.items():
+        old = prior.get(name)
+        merged[name] = (
+            old
+            if old is not None
+            and old.get("fingerprint") == fp
+            and quietness(old) < quietness(rec)
+            else rec
+        )
+    return merged
+
+
 def _shuffle_bytes_since(spark, prev_stage_max: int) -> tuple[int, int, int]:
     """(total shuffle-write bytes, peak per-stage bytes, new max stage id)
     over all COMPLETE stages with id > prev_stage_max, read from the UI
@@ -496,6 +549,7 @@ def main() -> None:
     from bench import NOISE_LOAD_1M, _wait_for_quiet
 
     results: dict[str, dict] = {}
+    fp = code_fingerprint()
     stage_max = -1
     for name, fn in selected.items():
         times = {}
@@ -553,6 +607,7 @@ def main() -> None:
                          "prerun_load_1m": round(load, 2),
                          "load_1m_per_measurement": meas_load,
                          "n_quiet_per_measurement": meas_quiet,
+                         "fingerprint": fp,
                          "noisy": (load > NOISE_LOAD_1M
                                    or max(meas_load.values()) > NOISE_LOAD_1M)}
         if shuffles:
@@ -589,27 +644,17 @@ def main() -> None:
         # TIGHTEN the artifact instead of letting a stormy sweep
         # overwrite a calm one. A prior entry is kept when it is quieter
         # (noisy flag, then the max kept-sample load). Only merges when
-        # the prior sweep used the same base_rows/multiplier; stamp-less
-        # legacy entries always lose to stamped ones.
+        # the prior sweep used the same base_rows/multiplier AND the same
+        # code fingerprint (ADVICE r9 medium: an unstamped merge kept a
+        # quiet PRE-change measurement over every later sweep forever,
+        # reporting stale growth ratios as current); stamp-less or
+        # mismatched-fingerprint entries always lose to current ones.
         prior = (
             doc.get("pipelines", {})
             if doc.get("base_rows") == BASE_ROWS and doc.get("multiplier") == mult
             else {}
         )
-
-        def quietness(rec: dict) -> tuple:
-            loads = rec.get("load_1m_per_measurement")
-            if loads is None:
-                return (True, float("inf"))
-            return (bool(rec.get("noisy")), max(loads.values()))
-
-        merged = {}
-        for name, rec in results.items():
-            old = prior.get(name)
-            merged[name] = (
-                old if old is not None and quietness(old) < quietness(rec)
-                else rec
-            )
+        merged = merge_sweep(prior, results, fp)
         doc.update(
             {"base_rows": BASE_ROWS, "multiplier": mult, "pipelines": merged}
         )
