@@ -379,7 +379,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the adjacency's payload is O(|E|) array cells even though it has one
     # row per src — gate on the edge count, not the row count
     n_edges = o.count()
-    adj = o.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    # cached: BOTH probe sides (au on e.src, av on e.dst) consume this one
+    # frame, and exchange reuse does not collapse the two aliased builds —
+    # uncached, the groupBy(src)+collect_list exchange over the |E|-row
+    # edge frame ran TWICE per action (measured r10: two identical 12.9 MB
+    # exchanges + 2×~5 s of partial collect_list CPU at sf0.1; caching
+    # halves the adjacency cost at every scale, same O(|E|)-longs pin
+    # class as `o` above).
+    adj = bounded_cache(
+        o.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    )
     au, av = adj.alias("au"), adj.alias("av")
     tri = (
         o.select("src", "dst")

@@ -724,22 +724,32 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-level agg instead of count_distinct: a distinct agg would plan an
     # Expand (one input copy per distinct column — 3x the shuffle here);
     # collapsing to (orderkey, suppkey) grain first keeps one copy and both
-    # exchanges get map-side partials.
-    per_order = (
-        late.groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max("is_late").alias("supp_late"))
-        .groupBy("l_orderkey")
-        .agg(
-            F.count("*").alias("n_supp"),
-            F.sum(F.col("supp_late").cast("int")).alias("n_late_supp"),
-        )
+    # exchanges get map-side partials. The per-order qualifier is a WINDOW
+    # over that (orderkey, suppkey) aggregate, not a join-back (r10
+    # optimization): the join-back formulation consumed `late` twice — a
+    # second fact scan + broadcast join per action — and shuffled the
+    # filtered fact side again on orderkey; the window reads the already-
+    # aggregated (orders × suppliers)-grain frame. numwait then sums the
+    # per-(order, supplier) late-line counts carried through the
+    # aggregation (identical to counting the late lines themselves).
+    from pyspark.sql import Window
+
+    g = late.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count_if("is_late").alias("n_late_lines"),
+        F.max("is_late").alias("supp_late"),
     )
+    w = Window.partitionBy("l_orderkey")
     return (
-        late.filter(F.col("is_late"))
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        g.select(
+            "l_suppkey",
+            "n_late_lines",
+            "supp_late",
+            F.count("*").over(w).alias("n_supp"),
+            F.sum(F.col("supp_late").cast("int")).over(w).alias("n_late_supp"),
+        )
+        .filter(F.col("supp_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
         .groupBy(F.col("l_suppkey").alias("suppkey"))
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_late_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), "suppkey")
     )
 

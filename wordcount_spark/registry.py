@@ -187,6 +187,20 @@ EVIDENCE_RESET: dict[str, int] = {
     # scored map-side against the broadcast query set BEFORE the doc-id
     # join) — same oracle, new plan, re-prove
     "pipeline_rag_corpus": 7,
+    # r10 (optimization round): adjacency frame cached so the two probe
+    # sides share ONE groupBy(src)+collect_list build — the duplicate
+    # 12.9 MB exchange per action is gone (same oracle, same values, one
+    # fewer shuffle in the plan)
+    "graph_triangle_count": 10,
+    # r10: span + distinct types derived from the cached hourly aggregate
+    # instead of two extra scans of the raw fact (3 scans -> 1; same
+    # oracle, same values)
+    "events_gapfill_hourly": 10,
+    "events_resample_ffill": 10,
+    # r10: per-order qualifier computed as a window over the
+    # (orderkey, suppkey) aggregate instead of a join-back of the
+    # late-line fact (2 fact scans -> 1, one fewer exchange; same oracle)
+    "q21_waiting_suppliers": 10,
 }
 
 
