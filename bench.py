@@ -182,6 +182,15 @@ def _emit_final_line(out: dict, detail: dict) -> None:
     print(line)
 
 
+#: post-CORPUS-window 1-min load above which the try is not quiet. Unlike
+#: the pre-stamp (external load only — our JVM is idle when it is taken),
+#: a post-window stamp carries the corpus job's OWN threads, so the
+#: threshold must sit above the self-load contribution of a quiet window
+#: (ADVICE r8). None = not yet calibrated: the probe-drift gate below
+#: still covers the post-window, and quiet-window post-stamps accumulate
+#: in BENCH_detail/BENCH_floor artifacts until a separating value exists.
+CORPUS_POST_LOAD_NOISY: float | None = None
+
 #: post/pre CPU-calibration ratio above which the run is marked noisy:
 #: the pre-run load gate only sees neighbors present BEFORE the run; a
 #: neighbor arriving mid-run (observed r4: load 0.3 → 11 during one run,
@@ -190,23 +199,23 @@ def _emit_final_line(out: dict, detail: dict) -> None:
 CALIB_DRIFT_NOISY = 1.35
 
 
-def _cpu_calibration(spark, n: int = 3) -> float:
-    """Best-of-n wall time of a fixed CPU-bound probe (200M xxhash64 sums
+def _probe_once(spark) -> float:
+    """One timed run of the fixed CPU-bound probe (200M xxhash64 max
     across all cores, no I/O, no shuffle beyond the 1-row agg): a pure
     contention thermometer, insensitive to page cache or data layout."""
     from pyspark.sql import functions as F
 
-    def run() -> float:
-        t0 = time.monotonic()
-        # max, not sum: an ANSI-mode BIGINT sum of 2e8 full-range hashes
-        # overflows; max still evaluates every hash
-        spark.range(200_000_000).agg(
-            F.max(F.xxhash64("id"))
-        ).collect()
-        return time.monotonic() - t0
+    t0 = time.monotonic()
+    # max, not sum: an ANSI-mode BIGINT sum of 2e8 full-range hashes
+    # overflows; max still evaluates every hash
+    spark.range(200_000_000).agg(F.max(F.xxhash64("id"))).collect()
+    return time.monotonic() - t0
 
-    run()  # warm: JIT/codegen
-    return min(run() for _ in range(n))
+
+def _cpu_calibration(spark, n: int = 3) -> float:
+    """Best-of-n wall time of the fixed probe."""
+    _probe_once(spark)  # warm: JIT/codegen
+    return min(_probe_once(spark) for _ in range(n))
 
 
 def main() -> None:
@@ -416,14 +425,33 @@ def main() -> None:
             # burst-crushed sample (observed 9–26 MB/s vs ~39 calm) would
             # otherwise ride a quiet-flagged line straight into the
             # vs-baseline comparison.
-            # post-window stamps are RECORDED but do not gate: the corpus
-            # job itself keeps up to 32 threads runnable for seconds, so a
-            # post-stamp conflates self-load with the external bursts the
-            # pre-stamp misses (ADVICE r8 low). They accumulate here as
-            # calibration — once quiet-run post-stamps bound the self-load
-            # contribution, a separating threshold can be promoted to a gate.
+            #
+            # POST-window gates (VERDICT r10 item 2; r9 advice item 3): the
+            # pre-stamp cannot see a neighbor that arrives MID-window —
+            # r10's 8x sample was crushed 13x (4.07 MB/s vs the 52.6 floor)
+            # yet shipped noisy_corpus=false. Two detectors with
+            # complementary blind spots now gate each try:
+            #  - probe drift: one timed run of the fixed CPU probe right
+            #    after the window, against the headline loop's quietest
+            #    calibration this run. Contention still present inflates
+            #    it; self-load cannot (our job has finished), so no
+            #    self-load threshold problem. Blind spot: a neighbor gone
+            #    by window end.
+            #  - post load stamp: the 1-min average decays slowly, so it
+            #    still carries a neighbor that already left — but it also
+            #    carries our OWN window's threads (ADVICE r8), so it gates
+            #    at CORPUS_POST_LOAD_NOISY, calibrated from quiet-window
+            #    samples (accumulating in the floor artifacts), not at the
+            #    external gate.
             post_stamps: dict[str, float] = {}
+            post_probes: dict[str, float] = {}
             detail["reference_corpus_post_load_1m"] = post_stamps
+            detail["reference_corpus_post_probe_sec"] = post_probes
+            calib_floor = min(
+                min(a["cpu_calib_pre_sec"], a["cpu_calib_post_sec"])
+                for a in attempts
+            )
+            detail["corpus_probe_baseline_sec"] = round(calib_floor, 4)
 
             def timed_stamped(df_fn, n, tag):
                 tries = []
@@ -435,16 +463,32 @@ def main() -> None:
                         # actually sees, making the retry a no-op (ADVICE r8)
                         _wait_for_quiet(max_wait=120)
                     stamp = round(os.getloadavg()[0], 2)
-                    tries.append((stamp, timed(df_fn, n=n)))
-                    post_stamps[f"{tag}_try{attempt}"] = round(
-                        os.getloadavg()[0], 2
+                    t = timed(df_fn, n=n)
+                    probe = _probe_once(spark)
+                    post = round(os.getloadavg()[0], 2)
+                    post_stamps[f"{tag}_try{attempt}"] = post
+                    post_probes[f"{tag}_try{attempt}"] = round(probe, 4)
+                    quiet_try = (
+                        stamp <= NOISE_LOAD_1M
+                        and probe <= CALIB_DRIFT_NOISY * calib_floor
+                        and (
+                            CORPUS_POST_LOAD_NOISY is None
+                            or post <= CORPUS_POST_LOAD_NOISY
+                        )
                     )
-                    if stamp <= NOISE_LOAD_1M:
+                    tries.append((quiet_try, stamp, t))
+                    if quiet_try:
                         break
-                quiet = [(s, t) for s, t in tries if s <= NOISE_LOAD_1M]
-                return min(quiet or tries, key=lambda st: st[1])
+                quiet = [(s, t) for q, s, t in tries if q]
+                if quiet:
+                    s, t = min(quiet, key=lambda st: st[1])
+                    return s, t, False
+                _, s, t = min(tries, key=lambda qst: qst[2])
+                return s, t, True
 
-            stamp, best = timed_stamped(lambda: wc_df(paths), n=8, tag="corpus")
+            stamp, best, noisy_c = timed_stamped(
+                lambda: wc_df(paths), n=8, tag="corpus"
+            )
             detail["reference_corpus_load_1m"] = stamp
             out["reference_corpus_mb_per_sec"] = round(nbytes / 1e6 / best, 2)
             # Committed stage breakdown (VERDICT r1 task 5): how much of
@@ -475,20 +519,19 @@ def main() -> None:
                 128 * 1024 * 1024,
             )
             spark.conf.set("spark.sql.files.maxPartitionBytes", str(split8))
-            stamp8, best8 = timed_stamped(
+            stamp8, best8, noisy_c8 = timed_stamped(
                 lambda: wc_df(paths8), n=4, tag="corpus8x"
             )
             detail["reference_corpus_8x_load_1m"] = stamp8
             out["reference_corpus_8x_mb_per_sec"] = round(nbytes8 / 1e6 / best8, 2)
             detail["reference_corpus_8x_distinct_bytes"] = nbytes8
             # the corpus phase runs AFTER the headline gates computed their
-            # flag; if every timed_stamped retry stayed loud, the surviving
-            # MB/s is burst-deflated and must not ride a quiet-flagged line
-            # into the vs-baseline comparison (ADVICE r8 medium: the retry
-            # only mitigates, this flag closes it)
-            out["noisy_corpus"] = bool(
-                stamp > NOISE_LOAD_1M or stamp8 > NOISE_LOAD_1M
-            )
+            # flag; if every timed_stamped retry stayed loud (pre-stamp OR
+            # either post-window gate), the surviving MB/s may be
+            # burst-deflated and must not ride a quiet-flagged line into
+            # the vs-baseline comparison (ADVICE r8 medium; VERDICT r10
+            # item 2 promoted the post-window detectors to gates)
+            out["noisy_corpus"] = bool(noisy_c or noisy_c8)
             out["noisy"] = bool(out["noisy"] or out["noisy_corpus"])
         finally:
             for k, v in saved.items():

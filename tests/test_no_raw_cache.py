@@ -119,3 +119,39 @@ def test_identical_plan_repin_refreshes_slot_not_appends(spark, sf_dir):
     assert other is not first
     assert len(caching._pins) == n_slots + 1
     assert any(p is other for p in caching._pins.values())
+
+
+def test_renamed_repin_returns_callers_column_names(spark, sf_dir):
+    """Plan canonicalization ignores output NAMES, so a frame and its
+    ``withColumnRenamed`` twin are semantically equal — the r10 regression:
+    events_gapfill_hourly pinned hourly-renamed-to-n_raw, then
+    events_rollup_multigrain's pin of the plain hourly aggregate got the
+    n_raw frame back and its select("n_events") failed analysis (the red
+    r10 suite). A semantic hit must come back with the CALLER'S column
+    names, still scanning the one shared cache entry (no new FIFO slot)."""
+    from wordcount_spark.operators import caching
+    from wordcount_spark.sources.readers import load_table
+
+    def base():
+        return (
+            load_table(spark, sf_dir, "documents")
+            .groupBy("source").count()
+        )
+
+    while caching._pins:
+        try:
+            caching._pins.popitem(last=False)[1].unpersist()
+        except Exception:
+            pass
+    renamed = caching.bounded_cache(base().withColumnRenamed("count", "n_docs"))
+    renamed.count()  # materialize the shared cache entry
+    n_slots = len(caching._pins)
+    plain = caching.bounded_cache(base())
+    assert plain.columns == ["source", "count"], (
+        f"semantic re-pin leaked the stored frame's names: {plain.columns}"
+    )
+    assert len(caching._pins) == n_slots, "rename re-pin must not add a slot"
+    # the relabel is a Project over the SAME cache entry, not a new pin
+    plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, "relabelled frame must still scan the cache"
+    plain.select("count").count()  # the caller's names actually resolve

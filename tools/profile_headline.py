@@ -6,10 +6,10 @@ For each headline query: build the DataFrame, warm once (JIT + caches,
 same as bench.py), then run ONE timed noop write with the Spark UI on and
 read that run's stage metrics over the REST API. Emits a JSON sidecar
 plus a human-readable table; optionally dumps .explain("formatted") to
-plans/r10/<query>_before.txt (or _after.txt).
+plans/<round-dir>/<query>_before.txt (or _after.txt).
 
 Usage:
-    python tools/profile_headline.py [--suffix before] [-q name ...]
+    python tools/profile_headline.py [--round r11] [--suffix before] [-q name ...]
 """
 
 from __future__ import annotations
@@ -27,8 +27,9 @@ sys.path.insert(0, _REPO)
 
 def stage_metrics(spark):
     base = spark.sparkContext.uiWebUrl
-    apps = json.load(urllib.request.urlopen(f"{base}/api/v1/applications"))
-    app_id = apps[0]["id"]
+    # our own applicationId, NOT apps[0]: with another UI-enabled Spark JVM
+    # on the box the first listed app can be someone else's (ADVICE r10)
+    app_id = spark.sparkContext.applicationId
     stages = json.load(
         urllib.request.urlopen(
             f"{base}/api/v1/applications/{app_id}/stages?status=complete"
@@ -53,11 +54,19 @@ def stage_metrics(spark):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--suffix", default=None, help="also dump plans/r10/<q>_<suffix>.txt")
+    ap.add_argument("--round", dest="round_dir", default="r11",
+                    help="plans/<round-dir>/ for --suffix dumps (ADVICE r10: was hardcoded r10)")
+    ap.add_argument("--suffix", default=None, help="also dump plans/<round>/<q>_<suffix>.txt")
     ap.add_argument("-q", "--queries", nargs="*", default=None)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--json", default="/tmp/profile_headline.json")
+    ap.add_argument("--json", default=None,
+                    help="sidecar path (default plans/<round>/profile[_suffix].json "
+                         "— committed with the plans, not left in /tmp; VERDICT r10)")
     args = ap.parse_args()
+    if args.json is None:
+        tag = f"_{args.suffix}" if args.suffix else ""
+        args.json = os.path.join(_REPO, "plans", args.round_dir, f"profile{tag}.json")
+        os.makedirs(os.path.dirname(args.json), exist_ok=True)
 
     from bench import HEADLINE
     from wordcount_spark.registry import get_queries
@@ -92,12 +101,13 @@ def main() -> None:
                 f"shR={s['sh_read_mb']:8.3f} shW={s['sh_write_mb']:8.3f} {s['name']}"
             )
         if args.suffix:
-            os.makedirs(os.path.join(_REPO, "plans", "r10"), exist_ok=True)
+            plan_dir = os.path.join(_REPO, "plans", args.round_dir)
+            os.makedirs(plan_dir, exist_ok=True)
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
             with open(
-                os.path.join(_REPO, "plans", "r10", f"{name}_{args.suffix}.txt"), "w"
+                os.path.join(plan_dir, f"{name}_{args.suffix}.txt"), "w"
             ) as f:
                 f.write(plan)
     with open(args.json, "w") as f:

@@ -58,7 +58,16 @@ def bounded_cache(df: DataFrame) -> DataFrame:
             same = False
         if same:
             _pins.move_to_end(key)  # refresh, don't double-pin
-            return stored
+            if stored.columns == df.columns:
+                return stored
+            # Plan canonicalization ignores output NAMES (a pure
+            # withColumnRenamed is semantics-preserving), so a hit may
+            # carry different column names than the frame the caller
+            # built (r10: gapfill pinned hourly-as-n_raw, then the
+            # multigrain rollup got n_raw back and its select(n_events)
+            # failed analysis). Re-label on top of the pinned frame: the
+            # Project scans the SAME cache entry, FIFO stays 1:1.
+            return stored.toDF(*df.columns)
         key = (key, id(df))  # 32-bit semanticHash collision: distinct slot
     df = df.cache()
     if key is None:
